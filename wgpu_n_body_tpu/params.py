@@ -1,0 +1,126 @@
+"""Core value types: simulation parameters and the particle-state pytree.
+
+Reference parity:
+- ``SimParams``      <- src/sims/mod.rs:53-58 (fields) and :62-71 (defaults)
+- ``ParticleState``  <- src/sims/mod.rs:11-16 ``Particle`` {position, velocity,
+  acceleration, mass}. The reference stores AoS records with stride 40 B
+  (naive.wgsl:16); on TPU we store SoA ``(N, 3)`` / ``(N,)`` arrays because
+  the VPU wants lane-contiguous data. Semantically identical fields.
+- ``NaiveParams`` / ``TreeParams`` <- the ``AddParams`` enum
+  (src/sims/mod.rs:18-23) and ``TreeSimParams`` (src/sims/tree.rs:626-629).
+
+Params are *values* (frozen dataclasses), mirroring the reference's
+"config is a plain struct" shape. They are static under ``jax.jit``
+(closed over / hashable), so every compiled step specializes on them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """Global simulation parameters (reference src/sims/mod.rs:53-58).
+
+    Defaults match the reference's ``Default`` impl (src/sims/mod.rs:62-71).
+
+    Attributes:
+      particle_num: N, number of bodies.
+      g: gravitational constant.
+      e: softening term added to r^3 in the force denominator
+         (naive.wgsl:39 — note it softens r^3, not r^2).
+      dt: timestep. NOTE the reference multiplies dt *inside* force
+         accumulation (naive.wgsl:41, tree.wgsl:67), so the stored
+         "acceleration" field is really sum(a)*dt. We replicate exactly.
+    """
+
+    particle_num: int = 10000
+    g: float = 1e-6
+    e: float = 1e-4
+    dt: float = 0.016
+
+
+@dataclasses.dataclass(frozen=True)
+class NaiveParams:
+    """Extra params for the naive O(N^2) backend (reference AddParams::NaiveSimParams).
+
+    Attributes:
+      tile_i: Pallas i-tile (lane) size for the all-pairs kernel.
+      tile_j: Pallas j-tile (sublane-streamed) size.
+      use_pallas: if False, use the pure-jnp blockwise force (oracle path).
+    """
+
+    tile_i: int = 256
+    tile_j: int = 1024
+    use_pallas: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TreeParams:
+    """Extra params for the Barnes-Hut backend.
+
+    Reference: ``AddParams::TreeSimParams { theta }`` (src/sims/mod.rs:18-23)
+    with default theta 0.75 when unset (src/sims/tree.rs:42-51), and the
+    4N-octant tree-buffer cap (src/sims/tree.rs:188-199).
+
+    Attributes:
+      theta: opening angle; a cell is accepted when width/dist < theta
+        (tree.wgsl:63-64).
+      max_depth: maximum octree depth D. The reference subdivides until
+        singleton leaves (unbounded depth); we use Morton keys at 3*D bits,
+        deep enough that real float32 data always separates. Cells still
+        multi-body at depth D are treated as terminal point masses.
+      node_capacity_factor: tree arena size = factor * N nodes
+        (reference cap: 4N, src/sims/tree.rs:188-199).
+    """
+
+    theta: float = 0.75
+    max_depth: int = 16
+    node_capacity_factor: int = 4
+
+
+class ParticleState(NamedTuple):
+    """SoA particle state pytree (reference Particle, src/sims/mod.rs:11-16).
+
+    pos:  (N, 3) float32 positions
+    vel:  (N, 3) float32 velocities
+    acc:  (N, 3) float32 — stores sum(a)*dt of the last step, exactly like
+          the reference's acceleration field (naive.wgsl:41,68)
+    mass: (N,)   float32 masses
+    """
+
+    pos: jax.Array
+    vel: jax.Array
+    acc: jax.Array
+    mass: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.pos.shape[0]
+
+    @staticmethod
+    def zeros(n: int, dtype=jnp.float32) -> "ParticleState":
+        return ParticleState(
+            pos=jnp.zeros((n, 3), dtype),
+            vel=jnp.zeros((n, 3), dtype),
+            acc=jnp.zeros((n, 3), dtype),
+            mass=jnp.ones((n,), dtype),
+        )
+
+
+def validate_state(state: ParticleState) -> None:
+    """Shape/dtype invariants; raises ValueError on violation."""
+    n = state.pos.shape[0]
+    if state.pos.shape != (n, 3):
+        raise ValueError(f"pos must be (N,3), got {state.pos.shape}")
+    if state.vel.shape != (n, 3):
+        raise ValueError(f"vel must be (N,3), got {state.vel.shape}")
+    if state.acc.shape != (n, 3):
+        raise ValueError(f"acc must be (N,3), got {state.acc.shape}")
+    if state.mass.shape != (n,):
+        raise ValueError(f"mass must be (N,), got {state.mass.shape}")
