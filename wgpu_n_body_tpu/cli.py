@@ -1,0 +1,214 @@
+"""Command-line entry points (reference: src/bin/ + benches/benchmark.rs).
+
+    python -m wgpu_n_body_tpu.cli headless   # bin/headless.rs analog
+    python -m wgpu_n_body_tpu.cli visualize  # bin/visualize.rs analog (offline)
+    python -m wgpu_n_body_tpu.cli bench      # benches/benchmark.rs analog
+
+Unlike the reference (parameters hardcoded per binary), everything is a
+flag, but every default equals the corresponding reference constant.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_sim(args):
+    from wgpu_n_body_tpu.models import NaiveSim, TreeSim
+    from wgpu_n_body_tpu.params import NaiveParams, SimParams, TreeParams
+
+    params = SimParams(particle_num=args.n, g=args.g, e=args.e, dt=args.dt)
+    if args.sim == "naive":
+        return NaiveSim(params, NaiveParams(use_pallas=not args.no_pallas))
+    return TreeSim(params, TreeParams(theta=args.theta))
+
+
+def _add_sim_flags(p, n, g, e, dt, sim):
+    p.add_argument("--sim", choices=["naive", "tree"], default=sim)
+    p.add_argument("--n", type=int, default=n)
+    p.add_argument("--g", type=float, default=g)
+    p.add_argument("--e", type=float, default=e)
+    p.add_argument("--dt", type=float, default=dt)
+    p.add_argument("--theta", type=float, default=0.75)
+    p.add_argument("--init", choices=["uniform", "disc", "spherical"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-pallas", action="store_true")
+
+
+def cmd_headless(args) -> int:
+    """bin/headless.rs analog: defaults TreeSim N=4e6 theta=0.75 uniform,
+    10 steps, per-step microseconds printed (headless.rs:12-34)."""
+    from wgpu_n_body_tpu.inits import INITS
+    from wgpu_n_body_tpu.runners.headless import OfflineHeadless
+    from wgpu_n_body_tpu.runners.trajectory import TrajectoryWriter
+
+    sim = _build_sim(args)
+    init = INITS[args.init or "uniform"]
+    runner = OfflineHeadless(sim, init, key=args.seed)
+    traj = (
+        TrajectoryWriter(args.trajectory, meta={"n": args.n, "dt": args.dt})
+        if args.trajectory
+        else None
+    )
+    runner.run(
+        steps=args.steps,
+        chunk=args.chunk,
+        log_every=args.chunk if args.chunk > 1 else 1,
+        trajectory=traj,
+        trajectory_every=args.trajectory_every,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every or args.steps,
+        energy_every=args.energy_every,
+    )
+    mean = runner.timer.mean_s()
+    print(f"mean: {mean * 1e6:.1f} us/step over {args.steps} steps")
+    return 0
+
+
+def cmd_visualize(args) -> int:
+    """bin/visualize.rs analog, offline: run TreeSim N=100k disc
+    (visualize.rs:26-37) and render frames with the reference camera."""
+    from wgpu_n_body_tpu.inits import INITS
+    from wgpu_n_body_tpu.runners.headless import OfflineHeadless
+    from wgpu_n_body_tpu.runners.renderer import Camera, render_frame, write_png, write_ppm
+
+    sim = _build_sim(args)
+    init = INITS[args.init or "disc"]
+    runner = OfflineHeadless(sim, init, key=args.seed)
+    camera = Camera(aspect=args.width / args.height)
+    import os
+
+    os.makedirs(args.out, exist_ok=True)
+    written = 0
+    for frame in range(args.frames):
+        for _ in range(args.steps_per_frame):
+            runner.step()
+        img = render_frame(
+            runner.state.pos, camera, args.width, args.height
+        )
+        path = os.path.join(args.out, f"frame_{frame:06d}.png")
+        if not write_png(path, img):
+            path = path[:-4] + ".ppm"
+            write_ppm(path, img)
+        written += 1
+    print(f"wrote {written} frames to {args.out}")
+    return 0
+
+
+def cmd_render(args) -> int:
+    """Render frames from a dumped trajectory directory."""
+    from wgpu_n_body_tpu.runners.renderer import Camera, render_trajectory
+    from wgpu_n_body_tpu.runners.trajectory import TrajectoryReader
+
+    reader = TrajectoryReader(args.trajectory)
+    cam = Camera(aspect=args.width / args.height)
+    paths = render_trajectory(reader, args.out, cam, args.width, args.height)
+    print(f"wrote {len(paths)} frames to {args.out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    """benches/benchmark.rs analog: sweep N in 8192*{1,2,4,8,16} for each
+    backend, report bodies/sec (criterion Throughput::Elements) and
+    pairs/sec. One JSON line per point."""
+    import jax
+
+    from wgpu_n_body_tpu.inits import uniform_init
+    from wgpu_n_body_tpu.runners.headless import OfflineHeadless
+
+    sizes = args.sizes or [8192 * k for k in (1, 2, 4, 8, 16)]
+    sims = args.sim.split(",") if args.sim else ["naive", "tree"]
+    results = []
+    for sim_name in sims:
+        for n in sizes:
+            a = argparse.Namespace(**vars(args))
+            a.sim, a.n = sim_name, n
+            try:
+                sim = _build_sim(a)
+                runner = OfflineHeadless(sim, uniform_init, key=0)
+                runner.step()  # compile + warmup
+                t0 = time.perf_counter()
+                for _ in range(args.reps):
+                    runner.step()
+                jax.block_until_ready(runner.state)
+                dt = (time.perf_counter() - t0) / args.reps
+            except NotImplementedError:
+                continue
+            rec = {
+                "sim": sim_name,
+                "n": n,
+                "s_per_step": dt,
+                "bodies_per_sec": n / dt,
+                "pairs_per_sec": n * n / dt if sim_name == "naive" else None,
+            }
+            results.append(rec)
+            print(json.dumps(rec))
+    return 0 if results else 1
+
+
+def _enable_compile_cache() -> None:
+    """Persist XLA compilations across CLI invocations (first TPU compile of
+    a large kernel can take minutes; cached reloads are seconds)."""
+    import os
+
+    import jax
+
+    path = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/wgpu_n_body_tpu/xla"),
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is best-effort
+
+
+def main(argv=None) -> int:
+    _enable_compile_cache()
+    parser = argparse.ArgumentParser(prog="wgpu_n_body_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("headless", help="timed compute-only run")
+    _add_sim_flags(p, n=4_000_000, g=1e-6, e=1e-4, dt=0.016, sim="tree")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--chunk", type=int, default=1)
+    p.add_argument("--trajectory", type=str, default=None)
+    p.add_argument("--trajectory-every", type=int, default=0)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--energy-every", type=int, default=0)
+    p.set_defaults(fn=cmd_headless)
+
+    p = sub.add_parser("visualize", help="run + render frames (offline)")
+    _add_sim_flags(p, n=100_000, g=1e-5, e=1e-4, dt=0.0016, sim="tree")
+    p.add_argument("--width", type=int, default=400)
+    p.add_argument("--height", type=int, default=400)
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--steps-per-frame", type=int, default=1)
+    p.add_argument("--out", type=str, default="frames")
+    p.set_defaults(fn=cmd_visualize)
+
+    p = sub.add_parser("render", help="render a dumped trajectory")
+    p.add_argument("--trajectory", type=str, required=True)
+    p.add_argument("--out", type=str, default="frames")
+    p.add_argument("--width", type=int, default=400)
+    p.add_argument("--height", type=int, default=400)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("bench", help="criterion-style sweep")
+    _add_sim_flags(p, n=8192, g=1e-6, e=1e-4, dt=0.016, sim="")
+    p.add_argument("--sizes", type=int, nargs="*", default=None)
+    p.add_argument("--reps", type=int, default=10)
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

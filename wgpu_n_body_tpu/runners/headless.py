@@ -1,0 +1,131 @@
+"""Compute-only driver (reference: src/runners/offline_headless.rs).
+
+The reference loop per step is encode -> submit -> cleanup -> poll(Wait)
+(offline_headless.rs:38-44) — a synchronous host round-trip. Here the step
+is one donated jitted call on device-resident state; the host only blocks
+when it actually wants numbers (timing, diagnostics, dumps).
+
+Two stepping modes:
+- ``step()``: one step, synchronized — per-step wall time recorded, the
+  analog of the reference's timed loop (src/bin/headless.rs:29-33).
+- ``run(..., chunk=k)``: k steps fused into one ``lax.scan`` jit — the
+  fastest mode; host touches state only at chunk boundaries (dump/
+  checkpoint/energy cadence must divide the chunk size).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+from jax import lax
+
+from wgpu_n_body_tpu.models.base import InitFn, Simulator
+from wgpu_n_body_tpu.ops.energy import total_energy
+from wgpu_n_body_tpu.params import ParticleState
+from wgpu_n_body_tpu.runners.trajectory import TrajectoryWriter
+from wgpu_n_body_tpu.utils.checkpoint import save_checkpoint
+from wgpu_n_body_tpu.utils.profiling import StepTimer
+
+
+@functools.lru_cache(maxsize=None)
+def _compile_chunk(step_fn: Callable, k: int, donate: bool) -> Callable:
+    def run_chunk(state: ParticleState) -> ParticleState:
+        return lax.scan(lambda s, _: (step_fn(s), None), state, None, length=k)[0]
+
+    return jax.jit(run_chunk, donate_argnums=(0,) if donate else ())
+
+
+class OfflineHeadless:
+    """Owns a backend + state and drives the step loop."""
+
+    def __init__(
+        self,
+        sim: Simulator,
+        init_fn: InitFn,
+        key: jax.Array | int = 0,
+        donate: bool = True,
+    ):
+        if isinstance(key, int):
+            key = jax.random.key(key)
+        self.sim = sim
+        self.state: ParticleState = sim.init_state(key, init_fn)
+        self.step_num = 0
+        self.timer = StepTimer()
+        self._step = sim.make_step(donate=donate)
+        self._chunk_steps: dict[int, Callable] = {}
+        self._donate = donate
+
+    def step(self) -> float:
+        """One synchronized step; returns wall seconds (incl. dispatch)."""
+        with self.timer.step() as box:
+            self.state = self._step(self.state)
+            box["sync"] = self.state
+        self.step_num += 1
+        return self.timer.times_s[-1]
+
+    def _get_chunk(self, k: int) -> Callable:
+        if k not in self._chunk_steps:
+            # keyed on the (cached) step_fn identity so equal-params runners
+            # share one compilation
+            self._chunk_steps[k] = _compile_chunk(
+                self.sim.step_fn(), k, self._donate
+            )
+        return self._chunk_steps[k]
+
+    def run(
+        self,
+        steps: int,
+        chunk: int = 1,
+        log_every: int = 0,
+        trajectory: TrajectoryWriter | None = None,
+        trajectory_every: int = 0,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 0,
+        energy_every: int = 0,
+        log_fn: Callable[[str], None] = print,
+    ) -> ParticleState:
+        """Drive ``steps`` steps with optional periodic side channels."""
+        if trajectory is not None and trajectory_every <= 0:
+            trajectory_every = max(chunk, 1)
+        if chunk > 1:
+            for every, what in (
+                (trajectory_every, "trajectory_every"),
+                (checkpoint_every, "checkpoint_every"),
+                (energy_every, "energy_every"),
+            ):
+                if every and every % chunk != 0:
+                    raise ValueError(f"{what}={every} must be a multiple of chunk={chunk}")
+        step_fn = self._get_chunk(chunk) if chunk > 1 else None
+        done = 0
+        if trajectory is not None:
+            trajectory.append(self.state, self.step_num)
+        while done < steps:
+            k = min(chunk, steps - done)
+            with self.timer.step() as box:
+                if k == chunk and step_fn is not None:
+                    self.state = step_fn(self.state)
+                else:
+                    for _ in range(k):
+                        self.state = self._step(self.state)
+                box["sync"] = self.state
+            self.step_num += k
+            done += k
+            if log_every and (done % log_every < k):
+                us = self.timer.times_s[-1] / k * 1e6
+                log_fn(f"step {self.step_num}: {us:.1f} us/step")
+            if trajectory is not None and self.step_num % trajectory_every == 0:
+                trajectory.append(self.state, self.step_num)
+            if (
+                checkpoint_path
+                and checkpoint_every
+                and self.step_num % checkpoint_every == 0
+            ):
+                save_checkpoint(
+                    checkpoint_path, self.state, self.sim.sim_params, self.step_num
+                )
+            if energy_every and self.step_num % energy_every == 0:
+                e = float(total_energy(self.state, self.sim.sim_params))
+                log_fn(f"step {self.step_num}: total energy {e:.9e}")
+        return self.state

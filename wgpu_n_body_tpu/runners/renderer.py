@@ -1,0 +1,179 @@
+"""Offline renderer — the TPU-host analog of the interactive visualizer.
+
+No window/winit exists on a TPU host, so the reference's OnlineRenderer
+(src/runners/online_renderer.rs) becomes an offline rasterizer over live
+states or dumped trajectories, with identical camera geometry and blending:
+
+- Camera: eye (0,1,2), target origin, up +y, fovy 45 deg, znear 1e-5,
+  zfar 100 (online_renderer.rs:231-239), view = look_at_rh, proj = OpenGL
+  perspective, then the OpenGL->wgpu clip matrix (z' = 0.5 z + 0.5 w)
+  (online_renderer.rs:41-55).
+- Camera controller: the reference's WASD/QE eye movement
+  (online_renderer.rs:125-164) is exposed as the same discrete moves so
+  scripted flythroughs reproduce interactive paths.
+- Blending: draw.wgsl paints constant white with alpha 0.25 over black
+  with (src_alpha, one-minus-src-alpha) blending. Constant-color alpha
+  blending is order-independent: a pixel covered by k particles ends at
+  1 - 0.75^k. We therefore count coverage per pixel (bincount) and apply
+  that closed form — exact blend parity.
+- Point size: the reference instances a 3-vertex triangle of clip-space
+  half-extent 0.006 (online_renderer.rs:224-229, draw.wgsl:8-17), i.e.
+  ~1 px at 400x400 for unit-distance particles. We splat the nearest
+  pixel (sub-pixel triangles), a faithful approximation at the reference
+  window size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Camera:
+    """Perspective camera (reference online_renderer.rs:12-20,231-239)."""
+
+    eye: tuple = (0.0, 1.0, 2.0)
+    target: tuple = (0.0, 0.0, 0.0)
+    up: tuple = (0.0, 1.0, 0.0)
+    aspect: float = 1.0
+    fovy_deg: float = 45.0
+    znear: float = 1e-5
+    zfar: float = 100.0
+
+    def view_proj(self) -> np.ndarray:
+        """4x4 row-vector-on-the-right matrix: clip = M @ [x,y,z,1]."""
+        eye = np.asarray(self.eye, np.float32)
+        target = np.asarray(self.target, np.float32)
+        up = np.asarray(self.up, np.float32)
+        f = target - eye
+        f = f / np.linalg.norm(f)
+        s = np.cross(f, up)
+        s = s / np.linalg.norm(s)
+        u = np.cross(s, f)
+        view = np.eye(4, dtype=np.float32)
+        view[0, :3], view[1, :3], view[2, :3] = s, u, -f
+        view[0, 3] = -s @ eye
+        view[1, 3] = -u @ eye
+        view[2, 3] = f @ eye
+        t = 1.0 / np.tan(np.radians(self.fovy_deg) / 2.0)
+        n, fr = self.znear, self.zfar
+        proj = np.zeros((4, 4), np.float32)
+        proj[0, 0] = t / self.aspect
+        proj[1, 1] = t
+        proj[2, 2] = (fr + n) / (n - fr)
+        proj[2, 3] = 2 * fr * n / (n - fr)
+        proj[3, 2] = -1.0
+        # OpenGL [-1,1] z -> wgpu [0,1] z (online_renderer.rs:42-47)
+        gl2wgpu = np.eye(4, dtype=np.float32)
+        gl2wgpu[2, 2], gl2wgpu[2, 3] = 0.5, 0.5
+        return gl2wgpu @ proj @ view
+
+    # -- CameraController moves (online_renderer.rs:125-164) --------------
+    def moved(self, direction: str, speed: float = 0.05) -> "Camera":
+        """Return a camera after one controller tick of `direction` in
+        {forward, backward, up, down, left, right} (reference key moves)."""
+        eye = np.asarray(self.eye, np.float64)
+        target = np.asarray(self.target, np.float64)
+        up = np.asarray(self.up, np.float64)
+        fwd = target - eye
+        fwd_n = fwd / np.linalg.norm(fwd)
+        up_n = up / np.linalg.norm(up)
+        if direction == "forward" and np.linalg.norm(fwd) > speed:
+            eye = eye + fwd_n * speed
+        elif direction == "backward":
+            eye = eye - fwd_n * speed
+        elif direction == "up" and np.linalg.norm(up) > speed:
+            eye = eye + up_n * speed
+        elif direction == "down":
+            eye = eye - up_n * speed
+        elif direction in ("left", "right"):
+            right = np.cross(fwd_n, up)
+            fwd = target - eye
+            mag = np.linalg.norm(fwd)
+            delta = right * speed if direction == "right" else -right * speed
+            eye = target - (fwd + delta) / np.linalg.norm(fwd + delta) * mag
+        return dataclasses.replace(self, eye=tuple(eye))
+
+
+def render_frame(
+    pos: np.ndarray,
+    camera: Camera | None = None,
+    width: int = 400,
+    height: int = 400,
+    alpha: float = 0.25,
+) -> np.ndarray:
+    """Rasterize particle positions to a (H, W) float image in [0, 1].
+
+    Defaults mirror the reference visualizer: 400x400 window
+    (src/bin/visualize.rs:21-24), white points at alpha 0.25 on black.
+    """
+    if camera is None:
+        camera = Camera(aspect=width / height)
+    m = camera.view_proj()
+    p = np.asarray(pos, np.float32)
+    clip = p @ m[:3, :3].T + m[:3, 3]
+    w = p @ m[3, :3] + m[3, 3]
+    keep = (
+        (w > 0)
+        & (np.abs(clip[:, 0]) <= w)
+        & (np.abs(clip[:, 1]) <= w)
+        & (clip[:, 2] >= 0)
+        & (clip[:, 2] <= w)
+    )
+    ndc = clip[keep] / w[keep, None]
+    px = ((ndc[:, 0] + 1) * 0.5 * width).astype(np.int64)
+    py = ((1 - ndc[:, 1]) * 0.5 * height).astype(np.int64)
+    px = np.clip(px, 0, width - 1)
+    py = np.clip(py, 0, height - 1)
+    counts = np.bincount(py * width + px, minlength=width * height)
+    img = 1.0 - (1.0 - alpha) ** counts.reshape(height, width)
+    return img.astype(np.float32)
+
+
+def write_ppm(path: str, img: np.ndarray) -> None:
+    """Write a grayscale [0,1] image as a binary P6 PPM (zero-dependency)."""
+    g = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (img.shape[1], img.shape[0]))
+        f.write(rgb.tobytes())
+
+
+def write_png(path: str, img: np.ndarray) -> bool:
+    """Write PNG via PIL if available; returns False if PIL is missing."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return False
+    g = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    Image.fromarray(g, mode="L").save(path)
+    return True
+
+
+def render_trajectory(
+    reader,
+    out_dir: str,
+    camera: Camera | None = None,
+    width: int = 400,
+    height: int = 400,
+    fmt: str = "auto",
+) -> list[str]:
+    """Render every frame of a TrajectoryReader; returns written paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for step, pos in reader:
+        img = render_frame(pos, camera, width, height)
+        if fmt in ("auto", "png"):
+            path = os.path.join(out_dir, f"frame_{step:08d}.png")
+            if write_png(path, img):
+                paths.append(path)
+                continue
+            if fmt == "png":
+                raise RuntimeError("PIL not available for png output")
+        path = os.path.join(out_dir, f"frame_{step:08d}.ppm")
+        write_ppm(path, img)
+        paths.append(path)
+    return paths
