@@ -1,19 +1,68 @@
 """Barnes-Hut octree backend (reference: src/sims/tree.rs + tree.wgsl).
 
-Placeholder — full device-resident Morton-sort build + theta-walk lands in
-the next milestone.
+The reference's hybrid pipeline per step (tree.rs:262-353):
+
+    map GPU buffers -> host builds octree (BFS, rayon/bumpalo/SliceAlloc)
+    -> host DFS-sorts particles -> unmap/copy -> GPU theta-walk dispatch
+
+crosses host<->device five times per step. Here the whole step is ONE
+jitted device program with zero host round-trips:
+
+    morton sort (== the reference's DFS particle reorder)
+    -> vectorized level build into a DFS arena (ops/tree_build.py)
+    -> stackless theta-walk + fused leapfrog (ops/tree_walk.py)
+
+Like the reference, TreeSim reorders particles every step (identity order
+is not stable, tree.rs:564-602) and the tree arena holds up to 4N nodes
+(tree.rs:188-199).
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+
 from wgpu_n_body_tpu.models.base import Simulator, StepFn
-from wgpu_n_body_tpu.params import SimParams, TreeParams
+from wgpu_n_body_tpu.ops.integrate import leapfrog_step
+from wgpu_n_body_tpu.ops.tree_build import build_tree, morton_sort
+from wgpu_n_body_tpu.ops.tree_walk import tree_forces
+from wgpu_n_body_tpu.params import ParticleState, SimParams, TreeParams
+
+
+@functools.lru_cache(maxsize=None)
+def _tree_step_fn(params: SimParams, tp: TreeParams) -> StepFn:
+    def step(state: ParticleState) -> ParticleState:
+        # Tree and sort operate on pre-step positions, exactly like the
+        # reference (encode builds/sorts from the src buffer, tree.rs:271-297,
+        # before the compute dispatch integrates).
+        state_sorted, bound, keys = morton_sort(state, tp.max_depth)
+        tree = build_tree(state_sorted, keys, bound, tp)
+
+        def force(pos_new, _pos_old, _mass):
+            return tree_forces(pos_new, tree, params, tp)
+
+        return leapfrog_step(state_sorted, params, force)
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_tree_step(params: SimParams, tp: TreeParams, donate: bool) -> StepFn:
+    return jax.jit(_tree_step_fn(params, tp), donate_argnums=(0,) if donate else ())
 
 
 class TreeSim(Simulator):
+    """Barnes-Hut O(N log N) backend, fully device-resident."""
+
     def __init__(self, sim_params: SimParams, add_params: TreeParams | None = None):
         super().__init__(sim_params)
+        # Reference warns and defaults theta=0.75 when params are missing
+        # (tree.rs:42-51); here the default lives in TreeParams itself.
         self.add_params = add_params or TreeParams()
 
     def step_fn(self) -> StepFn:
-        raise NotImplementedError("TreeSim lands in the next milestone")
+        return _tree_step_fn(self.sim_params, self.add_params)
+
+    def make_step(self, donate: bool = True) -> StepFn:
+        return _compiled_tree_step(self.sim_params, self.add_params, donate)

@@ -1,0 +1,211 @@
+"""Device-side octree construction (replaces src/sims/tree.rs:417-602 +
+src/utils/slice_alloc.rs — the reference's host-native BFS build, DFS sort
+and lock-free bump allocator become one fully-vectorized jitted pass with
+zero host involvement).
+
+Equivalences, proven by construction:
+
+- The reference subdivides any cell with >= 2 particles until singleton
+  leaves (tree.rs:506-540). After Morton-sorting, the cell of a node at
+  level L is a run of equal 3L-bit key prefixes; a node is *real* iff it is
+  the root or its parent run has >= 2 particles. Chain nodes (single child)
+  are kept, exactly like the reference.
+- The reference writes particles in tree-DFS order every step
+  (tree.rs:564-602). DFS child order = Morton order (see ops/morton.py),
+  so the Morton sort IS the reference's per-step particle reorder.
+- DFS *node* order equals lexicographic (start_particle, level): a node is
+  visited when DFS first reaches its first particle, shallowest first.
+  Therefore node indices are pure cumsums — no sorting of nodes needed:
+    offset[i]   = # real nodes starting at particles < i   (exclusive scan)
+    index(L, i) = offset[i] + rank of L among i's real-start levels
+    first_child = index + 1                 (same start particle, level+1)
+    skip        = offset[start + count]     (first node outside the subtree)
+- Node payloads (cog = sum(m*p)/sum(m), mass, count) match
+  tree.rs:484-505; singleton leaves store the particle position exactly
+  (tree.rs:521-534). Bounds = max(|coord|) with identity 1.0, root_width =
+  2*bound (tree.rs:424-451).
+
+Arena is statically sized cap = node_capacity_factor*N + 1 (reference tree
+buffer: 4N octants, tree.rs:188-199); the last row is an inert sentinel for
+finished walk lanes. Overflow (more real nodes than cap) is reported in
+``TreeArrays.num_nodes`` for a host-side check.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from wgpu_n_body_tpu.ops import morton
+from wgpu_n_body_tpu.params import ParticleState, TreeParams
+
+# nodes_f32 column layout
+COG_X, COG_Y, COG_Z, MASS, WIDTH, IS_SINGLE, NO_CHILD = range(7)
+NODE_F32_COLS = 8  # padded to 8 for aligned row gathers
+
+
+class TreeArrays(NamedTuple):
+    """Static-shape octree in DFS order.
+
+    nodes_f32:  (cap+1, 8) float32 [cog xyz, mass, width, is_single,
+                no_child, unused]; row ``cap`` is the inert sentinel.
+    skip:       (cap+1,) int32 — next DFS node outside this subtree.
+    leaf_self:  (N,) int32 — index of particle i's own singleton leaf, or
+                cap (never matched) if i shares a terminal multi-leaf.
+    num_nodes:  () int32 — real node count (walk termination bound; if this
+                exceeds cap the tree overflowed and must be rebuilt deeper).
+    root_width: () float32 — 2 * bound (tree.rs:450).
+    """
+
+    nodes_f32: jax.Array
+    skip: jax.Array
+    leaf_self: jax.Array
+    num_nodes: jax.Array
+    root_width: jax.Array
+
+
+def morton_sort(state: ParticleState, depth: int):
+    """Sort particles by Morton key (the reference's per-step reorder).
+
+    Returns (sorted_state, bound) where bound = max(|coord|, 1.0)
+    (tree.rs:424-446: componentwise abs-max reduce with identity [1,1,1]).
+    """
+    bound = jnp.maximum(1.0, jnp.max(jnp.abs(state.pos)))
+    cell = morton.quantize(state.pos, bound, depth)
+    hi, lo = morton.morton_keys(cell, depth)
+    n = state.pos.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, _, perm = jax.lax.sort((hi, lo, idx), num_keys=2)
+    sorted_state = ParticleState(
+        pos=state.pos[perm],
+        vel=state.vel[perm],
+        acc=state.acc[perm],
+        mass=state.mass[perm],
+    )
+    return sorted_state, bound, (hi[perm], lo[perm])
+
+
+def build_tree(
+    state_sorted: ParticleState,
+    keys: tuple[jax.Array, jax.Array],
+    bound: jax.Array,
+    params: TreeParams,
+) -> TreeArrays:
+    """Build the DFS node arena from Morton-sorted particles."""
+    depth = params.max_depth
+    pos, mass = state_sorted.pos, state_sorted.mass
+    n = pos.shape[0]
+    cap = params.node_capacity_factor * n + 1
+    hi, lo = keys
+    root_width = 2.0 * bound
+
+    ii = jnp.arange(n, dtype=jnp.int32)
+
+    # Per-level segment structure over the sorted particle axis.
+    starts = []  # (n,) bool: particle begins a run at this level
+    counts = []  # (n,) int32: size of the particle's run at this level
+    seg_sum_m = []  # (n,) f32 at run starts: sum of masses
+    seg_sum_mp = []  # (n,3) f32 at run starts: sum of m*p
+    for lvl in range(depth + 1):
+        ph, plo = morton.prefix_at_level(hi, lo, lvl, depth)
+        if lvl == 0:
+            start = ii == 0
+        else:
+            start = jnp.concatenate(
+                [
+                    jnp.ones((1,), bool),
+                    (ph[1:] != ph[:-1]) | (plo[1:] != plo[:-1]),
+                ]
+            )
+        seg = jnp.cumsum(start) - 1  # segment id per particle
+        ones = jnp.ones_like(mass)
+        cnt_seg = jax.ops.segment_sum(ones, seg, num_segments=n)
+        m_seg = jax.ops.segment_sum(mass, seg, num_segments=n)
+        mp_seg = jax.ops.segment_sum(mass[:, None] * pos, seg, num_segments=n)
+        starts.append(start)
+        counts.append(cnt_seg[seg].astype(jnp.int32))
+        seg_sum_m.append(m_seg[seg])
+        seg_sum_mp.append(mp_seg[seg])
+
+    # A node is real iff root, or its parent run holds >= 2 particles
+    # (the reference only subdivides multi-particle partitions,
+    # tree.rs:506-540).
+    real = [starts[0]]
+    for lvl in range(1, depth + 1):
+        real.append(starts[lvl] & (counts[lvl - 1] >= 2))
+
+    # DFS enumeration by (start particle, level).
+    c_per_particle = sum(r.astype(jnp.int32) for r in real)
+    offset = jnp.cumsum(c_per_particle) - c_per_particle  # exclusive scan
+    num_nodes = offset[-1] + c_per_particle[-1]
+    offset_ext = jnp.concatenate([offset, num_nodes[None]])
+
+    nodes = jnp.zeros((cap + 1, NODE_F32_COLS), jnp.float32)
+    # Sentinel row ``cap``: zero mass, no_child=1 -> finished lanes read it
+    # harmlessly (accepted with zero contribution).
+    nodes = nodes.at[cap, NO_CHILD].set(1.0)
+    nodes = nodes.at[cap, COG_X].set(3.0)  # nonzero distance from any lane
+    skip = jnp.full((cap + 1,), cap, jnp.int32)
+
+    rank = jnp.zeros((n,), jnp.int32)
+    leaf_self = jnp.full((n,), cap, jnp.int32)
+    for lvl in range(depth + 1):
+        r = real[lvl]
+        node_idx = offset + rank  # index if this (lvl, i) is real
+        tgt = jnp.where(r, node_idx, cap)
+        cnt = counts[lvl]
+        is_single = cnt == 1
+        no_child = is_single | (lvl == depth)
+        # cog: exact particle position for singletons (tree.rs:525-529),
+        # mass-weighted mean otherwise.
+        cog = jnp.where(
+            is_single[:, None], pos, seg_sum_mp[lvl] / seg_sum_m[lvl][:, None]
+        )
+        width = root_width * (0.5**lvl)
+        payload = jnp.stack(
+            [
+                cog[:, 0],
+                cog[:, 1],
+                cog[:, 2],
+                seg_sum_m[lvl],
+                jnp.broadcast_to(width, cnt.shape),
+                is_single.astype(jnp.float32),
+                no_child.astype(jnp.float32),
+                jnp.zeros_like(seg_sum_m[lvl]),
+            ],
+            axis=1,
+        )
+        nodes = nodes.at[tgt].set(payload, mode="drop")
+        node_skip = offset_ext[jnp.minimum(ii + cnt, n)]
+        skip = skip.at[tgt].set(node_skip, mode="drop")
+        # Own singleton leaf: the deepest real node starting at i that is
+        # single — record the first (shallowest) singleton; its chain below
+        # is suppressed by the parent>=2 rule, so it IS the leaf.
+        take = r & is_single & (leaf_self == cap)
+        leaf_self = jnp.where(take, node_idx, leaf_self)
+        rank = rank + r.astype(jnp.int32)
+
+    # Particles inside a terminal multi-leaf don't start it; point them at
+    # the leaf that contains them so self-exclusion still works there:
+    # the deepest-level run start of their run.
+    # (counts[depth] > 1 means particle shares a depth-D cell.)
+    seg_d = jnp.cumsum(starts[depth]) - 1
+    start_idx_of_run = jax.ops.segment_max(
+        jnp.where(starts[depth], ii, -1), seg_d, num_segments=n
+    )
+    run_start = start_idx_of_run[seg_d]  # (n,) first particle of my D-run
+    shared = counts[depth] > 1
+    # index of the terminal node starting at run_start, if real: it is the
+    # deepest node there = offset[run_start] + c_per_particle[run_start] - 1
+    term_idx = offset[run_start] + c_per_particle[run_start] - 1
+    leaf_self = jnp.where(shared, term_idx, leaf_self)
+
+    return TreeArrays(
+        nodes_f32=nodes,
+        skip=skip,
+        leaf_self=leaf_self,
+        num_nodes=num_nodes,
+        root_width=jnp.asarray(root_width, jnp.float32),
+    )
