@@ -1,0 +1,60 @@
+"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wgpu_n_body_tpu.inits import uniform_init
+from wgpu_n_body_tpu.models.naive import NaiveSim
+from wgpu_n_body_tpu.params import NaiveParams, SimParams
+from wgpu_n_body_tpu.parallel import ShardedNaiveSim, make_mesh, shard_state
+
+PARAMS = SimParams(particle_num=256, g=1e-4)
+NP_ = NaiveParams(use_pallas=False)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("schedule", ["allgather", "ring"])
+def test_sharded_matches_single_device(schedule):
+    mesh = make_mesh()
+    single = NaiveSim(PARAMS, NP_).make_step(donate=False)
+    sharded_sim = ShardedNaiveSim(PARAMS, mesh, NP_, schedule=schedule)
+    sh_step = sharded_sim.make_step(donate=False)
+
+    st = uniform_init(jax.random.key(0), PARAMS)
+    st_sh = shard_state(st, mesh)
+    a, b = st, st_sh
+    for _ in range(3):
+        a = single(a)
+        b = sh_step(b)
+    np.testing.assert_allclose(
+        np.asarray(a.pos), np.asarray(b.pos), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.vel), np.asarray(b.vel), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.acc), np.asarray(b.acc), rtol=1e-4, atol=1e-8
+    )
+
+
+def test_sharded_state_is_actually_sharded():
+    mesh = make_mesh()
+    sim = ShardedNaiveSim(PARAMS, mesh, NP_)
+    st = sim.init_state(jax.random.key(1), uniform_init)
+    assert len(st.pos.sharding.device_set) == 8
+    out = sim.make_step(donate=False)(st)
+    assert len(out.pos.sharding.device_set) == 8  # sharding preserved
+
+
+def test_shard_state_rejects_indivisible_n():
+    mesh = make_mesh()
+    bad = SimParams(particle_num=250)
+    st = uniform_init(jax.random.key(2), bad)
+    with pytest.raises(ValueError):
+        shard_state(st, mesh)

@@ -9,11 +9,45 @@ donation. Particle order is preserved across steps, matching NaiveSim
 
 from __future__ import annotations
 
+import functools
+
+import jax
+
 from wgpu_n_body_tpu.models.base import Simulator, StepFn
 from wgpu_n_body_tpu.ops.integrate import leapfrog_step
 from wgpu_n_body_tpu.ops.naive_pallas import naive_forces_pallas
 from wgpu_n_body_tpu.ops.naive_ref import naive_forces_ref
 from wgpu_n_body_tpu.params import NaiveParams, ParticleState, SimParams
+
+
+@functools.lru_cache(maxsize=None)
+def _naive_step_fn(params: SimParams, ap: NaiveParams) -> StepFn:
+    """Params are frozen dataclasses, so step functions (and therefore jit
+    caches) are shared across NaiveSim instances with equal params."""
+    if ap.use_pallas:
+
+        def force(pos_new, pos_old, mass):
+            return naive_forces_pallas(
+                pos_new, pos_old, mass, params,
+                tile_i=ap.tile_i, tile_j=ap.tile_j,
+            )
+
+    else:
+
+        def force(pos_new, pos_old, mass):
+            return naive_forces_ref(pos_new, pos_old, mass, params)
+
+    def step(state: ParticleState) -> ParticleState:
+        return leapfrog_step(state, params, force)
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_naive_step(params: SimParams, ap: NaiveParams, donate: bool) -> StepFn:
+    return jax.jit(
+        _naive_step_fn(params, ap), donate_argnums=(0,) if donate else ()
+    )
 
 
 class NaiveSim(Simulator):
@@ -26,23 +60,7 @@ class NaiveSim(Simulator):
         self.add_params = add_params or NaiveParams()
 
     def step_fn(self) -> StepFn:
-        params = self.sim_params
-        ap = self.add_params
+        return _naive_step_fn(self.sim_params, self.add_params)
 
-        if ap.use_pallas:
-
-            def force(pos_new, pos_old, mass):
-                return naive_forces_pallas(
-                    pos_new, pos_old, mass, params,
-                    tile_i=ap.tile_i, tile_j=ap.tile_j,
-                )
-
-        else:
-
-            def force(pos_new, pos_old, mass):
-                return naive_forces_ref(pos_new, pos_old, mass, params)
-
-        def step(state: ParticleState) -> ParticleState:
-            return leapfrog_step(state, params, force)
-
-        return step
+    def make_step(self, donate: bool = True) -> StepFn:
+        return _compiled_naive_step(self.sim_params, self.add_params, donate)

@@ -44,9 +44,12 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(pin_ref, pjt_ref, mgdt_ref, out_ref, *, e: float, tile_i: int, tile_j: int):
+def _kernel(
+    off_ref, pin_ref, pjt_ref, mgdt_ref, out_ref, *, e: float, tile_i: int, tile_j: int
+):
     i = pl.program_id(0)
     j = pl.program_id(1)
+    row_off = off_ref[0]  # global index of the first receiver (sharded use)
 
     pi = pin_ref[:]  # (TI, 3) post-drift receiver positions
     pix = pi[:, 0:1]  # (TI, 1)
@@ -62,7 +65,9 @@ def _kernel(pin_ref, pjt_ref, mgdt_ref, out_ref, *, e: float, tile_i: int, tile_
     dz = pjz - piz
     r2 = dx * dx + dy * dy + dz * dz
 
-    rows = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
+    rows = row_off + i * tile_i + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_i, tile_j), 0
+    )
     cols = j * tile_j + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
     self_mask = rows == cols
 
@@ -94,25 +99,36 @@ def naive_forces_pallas(
     tile_i: int = 256,
     tile_j: int = 1024,
     interpret: bool | None = None,
+    row_offset: jax.Array | int = 0,
 ) -> jax.Array:
-    """(N, 3) acc*dt for all receivers. See module docstring for semantics."""
+    """(N_recv, 3) acc*dt for the receivers.
+
+    ``row_offset`` is the global particle index of receiver row 0 — pass
+    the shard offset when receivers are a shard of the source array so the
+    i==j self-mask lands on the true diagonal (sources are always indexed
+    globally from 0).
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n = pos_new.shape[0]
-    # Tiles are powers of two, so lcm == max; shrink for tiny problems.
-    tile_i = min(tile_i, _round_up(n, 8))
-    tile_j = min(tile_j, _round_up(n, 128))
-    np_ = _round_up(n, max(tile_i, tile_j))
+    n_recv = pos_new.shape[0]
+    n_src = pos_old.shape[0]
+    # Tiles are powers of two; shrink for tiny problems.
+    tile_i = min(tile_i, _round_up(n_recv, 8))
+    tile_j = min(tile_j, _round_up(n_src, 128))
+    ni = _round_up(n_recv, tile_i)
+    nj = _round_up(n_src, tile_j)
 
-    pad = np_ - n
-    pos_new_p = jnp.pad(pos_new, ((0, pad), (0, 0)), constant_values=_PAD_SENTINEL)
+    pos_new_p = jnp.pad(
+        pos_new, ((0, ni - n_recv), (0, 0)), constant_values=_PAD_SENTINEL
+    )
     pos_old_t = jnp.pad(
-        pos_old, ((0, pad), (0, 0)), constant_values=_PAD_SENTINEL
-    ).T  # (3, Np)
-    mgdt = (mass * (params.g * params.dt))[None, :]  # (1, N)
-    mgdt = jnp.pad(mgdt, ((0, 0), (0, pad)))
+        pos_old, ((0, nj - n_src), (0, 0)), constant_values=_PAD_SENTINEL
+    ).T  # (3, Nj)
+    mgdt = (mass * (params.g * params.dt))[None, :]  # (1, n_src)
+    mgdt = jnp.pad(mgdt, ((0, 0), (0, nj - n_src)))
+    off = jnp.asarray(row_offset, jnp.int32).reshape(1)
 
-    grid = (np_ // tile_i, np_ // tile_j)
+    grid = (ni // tile_i, nj // tile_j)
     kernel = functools.partial(
         _kernel, e=params.e, tile_i=tile_i, tile_j=tile_j
     )
@@ -120,6 +136,7 @@ def naive_forces_pallas(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
@@ -127,12 +144,12 @@ def naive_forces_pallas(
         out_specs=pl.BlockSpec(
             (tile_i, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((np_, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ni, 3), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=15 * np_ * np_,
-            bytes_accessed=(np_ // tile_i) * np_ * 16 + np_ * 24,
-            transcendentals=2 * np_ * np_,
+            flops=15 * ni * nj,
+            bytes_accessed=(ni // tile_i) * nj * 16 + ni * 24,
+            transcendentals=2 * ni * nj,
         ),
         interpret=interpret,
-    )(pos_new_p, pos_old_t, mgdt)
-    return acc[:n]
+    )(off, pos_new_p, pos_old_t, mgdt)
+    return acc[:n_recv]

@@ -1,0 +1,16 @@
+"""Multi-chip scaling (no reference equivalent — upstream is single-GPU,
+SURVEY.md §2's parallelism table).
+
+Particles are sharded over a 1-D device mesh; forces need every source, so
+communication is XLA collectives over ICI:
+
+- naive: all_gather the (old) positions+masses, each chip evaluates its
+  receiver shard (the SURVEY's "allgather positions over ICI" design), or
+  the ppermute ring that streams source shards (ring-attention pattern).
+- tree (future): allgather coarse top-level cells (locally-essential tree).
+"""
+
+from wgpu_n_body_tpu.parallel.mesh import PARTICLE_AXIS, make_mesh, shard_state
+from wgpu_n_body_tpu.parallel.sharded_naive import ShardedNaiveSim
+
+__all__ = ["make_mesh", "shard_state", "ShardedNaiveSim", "PARTICLE_AXIS"]
