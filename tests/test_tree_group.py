@@ -1,0 +1,87 @@
+"""Group (tile-shared) theta-walk: correctness vs oracle and per-particle walk."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wgpu_n_body_tpu.inits import uniform_init
+from wgpu_n_body_tpu.models.tree import TreeSim
+from wgpu_n_body_tpu.ops.naive_ref import naive_forces_dense
+from wgpu_n_body_tpu.ops.tree_build import build_tree, morton_sort
+from wgpu_n_body_tpu.ops.tree_walk import tree_forces
+from wgpu_n_body_tpu.ops.tree_walk_group import group_tree_forces
+from wgpu_n_body_tpu.params import ParticleState, SimParams, TreeParams
+
+
+def _state(key, n):
+    kp, km = jax.random.split(key)
+    return ParticleState(
+        pos=jax.random.uniform(kp, (n, 3), jnp.float32, -1, 1),
+        vel=jnp.zeros((n, 3), jnp.float32),
+        acc=jnp.zeros((n, 3), jnp.float32),
+        mass=jax.random.uniform(km, (n,), jnp.float32, 0.5, 2.0),
+    )
+
+
+def _forces(st, theta, n, tile=32, l_cap=2048):
+    params = SimParams(particle_num=n, g=1e-3)
+    tp = TreeParams(
+        theta=theta, max_depth=10, walk_tile=tile, walk_list_cap=l_cap
+    )
+    ss, bound, keys = morton_sort(st, tp.max_depth)
+    tree = build_tree(ss, keys, bound, tp)
+    grp, stats = group_tree_forces(ss.pos, tree, keys, params, tp)
+    per = tree_forces(ss.pos, tree, params, tp)
+    exact = naive_forces_dense(ss.pos, ss.pos, ss.mass, params)
+    return np.asarray(grp), np.asarray(per), np.asarray(exact), int(stats.deferred)
+
+
+def test_group_theta_zero_equals_naive():
+    n = 200  # not a multiple of the tile -> exercises padding
+    grp, _, exact, _ = _forces(_state(jax.random.key(0), n), 0.0, n)
+    np.testing.assert_allclose(grp, exact, rtol=2e-4, atol=1e-8)
+
+
+def test_group_at_least_as_accurate_as_per_particle():
+    n = 384
+    grp, per, exact, deferred = _forces(_state(jax.random.key(1), n), 0.75, n)
+    assert deferred == 0
+    scale = np.linalg.norm(exact, axis=1).mean()
+    err_grp = np.abs(grp - exact).mean() / scale
+    err_per = np.abs(per - exact).mean() / scale
+    assert err_grp <= err_per * 1.01  # conservative opening can't be worse
+    assert err_grp < 0.03
+
+
+def test_group_list_overflow_defers_but_stays_exact():
+    # theta=0 with a tiny list cap: every tile overflows, all particles go
+    # down the per-particle fallback, and the result is still the exact
+    # all-pairs answer — overflow degrades speed, never physics.
+    n = 256
+    grp, _, exact, deferred = _forces(
+        _state(jax.random.key(2), n), 0.0, n, tile=32, l_cap=128
+    )
+    assert deferred == n
+    np.testing.assert_allclose(grp, exact, rtol=2e-4, atol=1e-8)
+
+
+def test_tree_sim_group_walk_end_to_end():
+    params = SimParams(particle_num=300, g=1e-5)
+    sim = TreeSim(
+        params,
+        TreeParams(theta=0.5, max_depth=10, walk="group", walk_tile=64,
+                   walk_list_cap=2048),
+    )
+    st = sim.init_state(jax.random.key(3), uniform_init)
+    step = sim.make_step(donate=False)
+    out = step(step(st))
+    assert np.isfinite(np.asarray(out.pos)).all()
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out.mass)), np.sort(np.asarray(st.mass))
+    )
+
+
+def test_group_and_per_particle_walks_agree_at_small_theta():
+    n = 256
+    grp, per, _, _ = _forces(_state(jax.random.key(4), n), 0.1, n)
+    np.testing.assert_allclose(grp, per, rtol=1e-3, atol=1e-7)

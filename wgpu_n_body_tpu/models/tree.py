@@ -27,6 +27,7 @@ from wgpu_n_body_tpu.models.base import Simulator, StepFn
 from wgpu_n_body_tpu.ops.integrate import leapfrog_step
 from wgpu_n_body_tpu.ops.tree_build import build_tree, morton_sort
 from wgpu_n_body_tpu.ops.tree_walk import tree_forces
+from wgpu_n_body_tpu.ops.tree_walk_group import group_tree_forces
 from wgpu_n_body_tpu.params import ParticleState, SimParams, TreeParams
 
 
@@ -39,8 +40,19 @@ def _tree_step_fn(params: SimParams, tp: TreeParams) -> StepFn:
         state_sorted, bound, keys = morton_sort(state, tp.max_depth)
         tree = build_tree(state_sorted, keys, bound, tp)
 
-        def force(pos_new, _pos_old, _mass):
-            return tree_forces(pos_new, tree, params, tp)
+        if tp.walk == "group":
+
+            def force(pos_new, _pos_old, _mass):
+                acc, _stats = group_tree_forces(pos_new, tree, keys, params, tp)
+                return acc
+
+        elif tp.walk == "per_particle":
+
+            def force(pos_new, _pos_old, _mass):
+                return tree_forces(pos_new, tree, params, tp)
+
+        else:
+            raise ValueError(f"unknown walk {tp.walk!r}")
 
         return leapfrog_step(state_sorted, params, force)
 

@@ -103,11 +103,21 @@ def build_tree(
 
     ii = jnp.arange(n, dtype=jnp.int32)
 
+    # Runs of equal key prefixes are contiguous on the sorted axis: run
+    # boundaries and counts come from exact int32 scans (cummax/cummin).
+    # Mass/cog aggregates deliberately use per-segment summation rather
+    # than global-prefix-sum differences — differencing a cumsum of N
+    # masses would carry ~eps*total_mass absolute error into every small
+    # node (20% mass error on a 2-body node at N=4M), while segment sums
+    # keep the error local to each node.
+
     # Per-level segment structure over the sorted particle axis.
     starts = []  # (n,) bool: particle begins a run at this level
-    counts = []  # (n,) int32: size of the particle's run at this level
-    seg_sum_m = []  # (n,) f32 at run starts: sum of masses
-    seg_sum_mp = []  # (n,3) f32 at run starts: sum of m*p
+    run_starts = []  # (n,) int32: index of my run's first particle
+    run_ends = []  # (n,) int32: one past my run's last particle
+    counts = []  # (n,) int32: size of my run
+    seg_sum_m = []  # (n,) f32: my run's total mass
+    seg_sum_mp = []  # (n,3) f32: my run's total m*p
     for lvl in range(depth + 1):
         ph, plo = morton.prefix_at_level(hi, lo, lvl, depth)
         if lvl == 0:
@@ -119,13 +129,17 @@ def build_tree(
                     (ph[1:] != ph[:-1]) | (plo[1:] != plo[:-1]),
                 ]
             )
+        rs = jax.lax.cummax(jnp.where(start, ii, jnp.int32(-1)))
+        nxt = jnp.where(start, ii, jnp.int32(n))
+        ns = jax.lax.cummin(nxt[::-1])[::-1]  # min start index >= i
+        re = jnp.concatenate([ns[1:], jnp.full((1,), n, jnp.int32)])
         seg = jnp.cumsum(start) - 1  # segment id per particle
-        ones = jnp.ones_like(mass)
-        cnt_seg = jax.ops.segment_sum(ones, seg, num_segments=n)
         m_seg = jax.ops.segment_sum(mass, seg, num_segments=n)
         mp_seg = jax.ops.segment_sum(mass[:, None] * pos, seg, num_segments=n)
         starts.append(start)
-        counts.append(cnt_seg[seg].astype(jnp.int32))
+        run_starts.append(rs)
+        run_ends.append(re)
+        counts.append(re - rs)
         seg_sum_m.append(m_seg[seg])
         seg_sum_mp.append(mp_seg[seg])
 
@@ -178,7 +192,7 @@ def build_tree(
             axis=1,
         )
         nodes = nodes.at[tgt].set(payload, mode="drop")
-        node_skip = offset_ext[jnp.minimum(ii + cnt, n)]
+        node_skip = offset_ext[run_ends[lvl]]  # at starts, run end == i + cnt
         skip = skip.at[tgt].set(node_skip, mode="drop")
         # Own singleton leaf: the deepest real node starting at i that is
         # single — record the first (shallowest) singleton; its chain below
@@ -188,14 +202,9 @@ def build_tree(
         rank = rank + r.astype(jnp.int32)
 
     # Particles inside a terminal multi-leaf don't start it; point them at
-    # the leaf that contains them so self-exclusion still works there:
-    # the deepest-level run start of their run.
+    # the leaf that contains them so self-exclusion still works there.
     # (counts[depth] > 1 means particle shares a depth-D cell.)
-    seg_d = jnp.cumsum(starts[depth]) - 1
-    start_idx_of_run = jax.ops.segment_max(
-        jnp.where(starts[depth], ii, -1), seg_d, num_segments=n
-    )
-    run_start = start_idx_of_run[seg_d]  # (n,) first particle of my D-run
+    run_start = run_starts[depth]  # (n,) first particle of my D-run
     shared = counts[depth] > 1
     # index of the terminal node starting at run_start, if real: it is the
     # deepest node there = offset[run_start] + c_per_particle[run_start] - 1

@@ -60,8 +60,13 @@ def tree_forces(
     tree: TreeArrays,
     params: SimParams,
     tree_params: TreeParams,
+    active: jax.Array | None = None,
 ) -> jax.Array:
-    """(N, 3) acc*dt via per-particle stackless DFS walks, in lockstep."""
+    """(N, 3) acc*dt via per-particle stackless DFS walks, in lockstep.
+
+    ``active``: optional (N,) bool — lanes with False skip their walk and
+    return zero (used as the fallback path for deferred group-walk tiles).
+    """
     n = pos_new.shape[0]
     cap = tree.nodes_f32.shape[0] - 1
     theta = tree_params.theta
@@ -96,7 +101,10 @@ def tree_forces(
         cur = jnp.where(done, cur, nxt)
         return cur, acc
 
-    cur0 = jnp.zeros((n,), jnp.int32)
+    if active is None:
+        cur0 = jnp.zeros((n,), jnp.int32)
+    else:
+        cur0 = jnp.where(active, 0, tree.num_nodes).astype(jnp.int32)
     acc0 = jnp.zeros((n, 3), jnp.float32)
     _, acc = lax.while_loop(cond, body, (cur0, acc0))
     return acc

@@ -50,12 +50,15 @@ class NaiveParams:
     """Extra params for the naive O(N^2) backend (reference AddParams::NaiveSimParams).
 
     Attributes:
-      tile_i: Pallas i-tile (lane) size for the all-pairs kernel.
-      tile_j: Pallas j-tile (sublane-streamed) size.
+      tile_i: Pallas receiver-tile (sublane) size for the all-pairs kernel.
+      tile_j: Pallas source-tile (lane, streamed) size.
       use_pallas: if False, use the pure-jnp blockwise force (oracle path).
+
+    Defaults were swept on a v5e chip (2026-08): (512, 1024) gives
+    1.14e11 pairs/s at N=262144; within 1% of the best point measured.
     """
 
-    tile_i: int = 256
+    tile_i: int = 512
     tile_j: int = 1024
     use_pallas: bool = True
 
@@ -77,11 +80,20 @@ class TreeParams:
         multi-body at depth D are treated as terminal point masses.
       node_capacity_factor: tree arena size = factor * N nodes
         (reference cap: 4N, src/sims/tree.rs:188-199).
+      walk: "group" (fast tile-shared traversal, conservative acceptance —
+        at least as accurate as per-particle) or "per_particle"
+        (reference-exact acceptance pattern).
+      walk_tile: particles per tile for the group walk (Morton-adjacent).
+      walk_list_cap: static per-tile interaction-list capacity (multiple
+        of 256); overflow is counted, not silently ignored.
     """
 
     theta: float = 0.75
     max_depth: int = 16
     node_capacity_factor: int = 4
+    walk: str = "group"
+    walk_tile: int = 256
+    walk_list_cap: int = 8192
 
 
 class ParticleState(NamedTuple):
