@@ -52,6 +52,50 @@ def test_sharded_state_is_actually_sharded():
     assert len(out.pos.sharding.device_set) == 8  # sharding preserved
 
 
+def test_sharded_tree_matches_single_device():
+    from wgpu_n_body_tpu.models.tree import TreeSim
+    from wgpu_n_body_tpu.params import TreeParams
+    from wgpu_n_body_tpu.parallel import ShardedTreeSim
+
+    mesh = make_mesh()
+    # per_particle walk: identical math regardless of sharding
+    tp = TreeParams(theta=0.5, max_depth=10, walk="per_particle")
+    single = TreeSim(PARAMS, tp).make_step(donate=False)
+    sh_step = ShardedTreeSim(PARAMS, mesh, tp).make_step(donate=False)
+    st = uniform_init(jax.random.key(5), PARAMS)
+    a, b = st, shard_state(st, mesh)
+    for _ in range(3):
+        a = single(a)
+        b = sh_step(b)
+    np.testing.assert_allclose(
+        np.asarray(a.pos), np.asarray(b.pos), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.acc), np.asarray(b.acc), rtol=1e-5, atol=1e-8
+    )
+    assert len(b.pos.sharding.device_set) == 8
+
+
+def test_sharded_tree_group_walk_close_to_single_device():
+    from wgpu_n_body_tpu.models.tree import TreeSim
+    from wgpu_n_body_tpu.params import TreeParams
+    from wgpu_n_body_tpu.parallel import ShardedTreeSim
+
+    mesh = make_mesh()
+    # group walk: tile boundaries differ per shard -> approximation-level
+    # agreement only
+    tp = TreeParams(theta=0.4, max_depth=10, walk="group", walk_tile=32,
+                    walk_list_cap=2048)
+    single = TreeSim(PARAMS, tp).make_step(donate=False)
+    sh_step = ShardedTreeSim(PARAMS, mesh, tp).make_step(donate=False)
+    st = uniform_init(jax.random.key(6), PARAMS)
+    a = single(st)
+    b = sh_step(shard_state(st, mesh))
+    np.testing.assert_allclose(
+        np.asarray(a.pos), np.asarray(b.pos), rtol=1e-4, atol=1e-6
+    )
+
+
 def test_shard_state_rejects_indivisible_n():
     mesh = make_mesh()
     bad = SimParams(particle_num=250)

@@ -35,7 +35,6 @@ particle. theta -> 0 still degenerates to the exact all-pairs sum.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax
@@ -53,25 +52,64 @@ class GroupWalkStats(NamedTuple):
 
 
 def _tile_assignment(keys, n, depth, g_tile):
-    """Split the sorted particle axis into cell-bounded pieces of <= g_tile.
+    """Split the sorted particle axis into density-adaptive pieces.
 
-    Returns (tile_id (n,) int32, t_cap static int). Pieces break at every
-    cell boundary of level L_t and every g_tile particles within a cell.
+    Each particle's *tile cell* is its deepest ancestor Morton cell still
+    holding >= g_tile particles (so the cell holds < 8*g_tile — its extent
+    adapts to local density). Pieces break at tile-cell changes and every
+    g_tile particles within a cell. A fixed coarse level fails on skewed
+    scenes: at N=1M a level-3 cell is 0.25 wide, and a sparse piece
+    spanning one that also contains the galaxy core gets a huge bbox and
+    must open the whole core (~100k visits per tile).
+
+    Returns (tile_id (n,) int32, t_cap static int, t_blk static int).
     """
-    # cells at L_t hold ~4*g_tile particles under uniform density
-    lt = max(1, min(depth, int(math.floor(math.log(max(n / (4 * g_tile), 1.0), 8)))))
     hi, lo = keys
-    ph, plo = morton.prefix_at_level(hi, lo, lt, depth)
     ii = jnp.arange(n, dtype=jnp.int32)
-    cell_start = jnp.concatenate(
-        [jnp.ones((1,), bool), (ph[1:] != ph[:-1]) | (plo[1:] != plo[:-1])]
+    # per-particle deepest level with run count >= g_tile, and that cell id
+    lstar = jnp.zeros((n,), jnp.int32)
+    cell_hi = jnp.zeros_like(hi)
+    cell_lo = jnp.zeros_like(lo)
+    for lvl in range(depth + 1):
+        ph, plo = morton.prefix_at_level(hi, lo, lvl, depth)
+        if lvl == 0:
+            start = ii == 0
+        else:
+            start = jnp.concatenate(
+                [jnp.ones((1,), bool), (ph[1:] != ph[:-1]) | (plo[1:] != plo[:-1])]
+            )
+        rs = lax.cummax(jnp.where(start, ii, jnp.int32(-1)))
+        nxt = jnp.where(start, ii, jnp.int32(n))
+        ns = lax.cummin(nxt[::-1])[::-1]
+        re = jnp.concatenate([ns[1:], jnp.full((1,), n, jnp.int32)])
+        big = (re - rs) >= g_tile
+        lstar = jnp.where(big, lvl, lstar)
+        cell_hi = jnp.where(big, ph, cell_hi)
+        cell_lo = jnp.where(big, plo, cell_lo)
+    grp_start = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (lstar[1:] != lstar[:-1])
+            | (cell_hi[1:] != cell_hi[:-1])
+            | (cell_lo[1:] != cell_lo[:-1]),
+        ]
     )
-    rs = lax.cummax(jnp.where(cell_start, ii, jnp.int32(-1)))
-    brk = cell_start | ((ii - rs) % g_tile == 0)
+    rs_grp = lax.cummax(jnp.where(grp_start, ii, jnp.int32(-1)))
+    brk = grp_start | ((ii - rs_grp) % g_tile == 0)
     tile_id = jnp.cumsum(brk).astype(jnp.int32) - 1
-    # static budget: count-based pieces + one extra piece per nonempty cell
-    t_cap = -(-n // g_tile) + max(8, -(-n // (2 * g_tile)))
-    return tile_id, t_cap
+    # static budget: count chunks (N/G) + group starts. Maximal same-cell
+    # groups interleave with >=G-particle subcells, so their number stays
+    # O(N/G); the 2x slack covers skew, and spills defer (never corrupt).
+    t_cap = -(-n // g_tile) + max(8, 2 * -(-n // g_tile))
+    t_blk = min(256, t_cap)
+    t_cap = -(-t_cap // t_blk) * t_blk
+    # phase-A traversal block: Morton-contiguous groups of tiles walk in
+    # their own while loop, so a block's iteration count is ITS max visits,
+    # not the global max (visit counts are heavily skewed and spatially
+    # correlated — galaxy-core tiles cluster into a few blocks)
+    ta_blk = min(2048, t_cap)
+    t_cap = -(-t_cap // ta_blk) * ta_blk
+    return tile_id, t_cap, t_blk, ta_blk
 
 
 def group_tree_forces(
@@ -91,7 +129,7 @@ def group_tree_forces(
     gdt = params.g * params.dt
     depth = tree_params.max_depth
 
-    tile_id_raw, t_cap = _tile_assignment(keys, n, depth, g)
+    tile_id_raw, t_cap, t_blk, ta_blk = _tile_assignment(keys, n, depth, g)
     spilled = tile_id_raw >= t_cap  # merged into the last tile id; deferred
     tile_id = jnp.minimum(tile_id_raw, t_cap - 1)
     ii = jnp.arange(n, dtype=jnp.int32)
@@ -123,99 +161,157 @@ def group_tree_forces(
 
     # ---- phase A: tile traversals -> interaction lists ----
     # Emission is ITERATION-indexed: traversal step k writes row k of an
-    # (R, T) array with one in-place dynamic_update_slice per unrolled
-    # block. Scatter-based per-tile append (at[slot].set on a carried
+    # (R, TA) array with one in-place dynamic_update_slice per unrolled
+    # step group. Scatter-based per-tile append (at[slot].set on a carried
     # multi-MB array) copies the whole array every iteration on TPU —
     # measured 63 us/iter vs ~20 us for the in-place row write. Rows where
     # a tile did not accept hold the sentinel `cap` and cost only wasted
     # phase-B lanes (visits/accepts ~ 1.5x).
     # The iteration budget IS the list capacity: overflow cannot happen;
     # tiles not finished within R rows are deferred to the fallback.
+    #
+    # Node rows are gathered once per step from an int32 view of the node
+    # table with the skip pointer in column 7 — one gather instead of two
+    # (skip must never pass through f32 ops: small ints are denormals and
+    # TPU flushes them to zero), and tiles traverse in Morton-contiguous
+    # blocks of ta_blk, each bounded by its own slowest tile.
     unroll = 16
     r_cap = -(-(2 * l_cap) // unroll) * unroll  # rows, multiple of unroll
     iter_cap = r_cap // unroll
-    lists0 = jnp.full((r_cap, t_cap), cap, jnp.int32)
-
-    def cond(carry):
-        it, cur, _ = carry
-        return (it < iter_cap) & jnp.any(cur < tree.num_nodes)
-
-    def body(carry):
-        it, cur, lists = carry
-        block = []
-        for _ in range(unroll):
-            done = cur >= tree.num_nodes
-            row = jnp.take(tree.nodes_f32, cur, axis=0)  # (T, 8)
-            nskip = jnp.take(tree.skip, cur)
-            cx, cy, cz = row[:, 0], row[:, 1], row[:, 2]
-            dx = jnp.maximum(
-                jnp.maximum(bbox_lo[:, 0] - cx, cx - bbox_hi[:, 0]), 0.0
-            )
-            dy = jnp.maximum(
-                jnp.maximum(bbox_lo[:, 1] - cy, cy - bbox_hi[:, 1]), 0.0
-            )
-            dz = jnp.maximum(
-                jnp.maximum(bbox_lo[:, 2] - cz, cz - bbox_hi[:, 2]), 0.0
-            )
-            dmin = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-            take = (row[:, WIDTH] < theta * dmin) | (row[:, NO_CHILD] > 0.0)
-            emit = take & ~done
-            block.append(jnp.where(emit, cur, cap))
-            nxt = jnp.where(take, nskip, cur + 1)
-            cur = jnp.where(done, cur, nxt)
-        lists = lax.dynamic_update_slice(
-            lists, jnp.stack(block, axis=0), (it * unroll, jnp.int32(0))
-        )
-        return it + 1, cur, lists
+    tbl_i32 = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(tree.nodes_f32[:, :7], jnp.int32),
+            tree.skip[:, None],
+        ],
+        axis=1,
+    )  # (cap+1, 8) int32
 
     # empty tiles start done
-    cur0 = jnp.where(piece_len > 0, 0, tree.num_nodes).astype(jnp.int32)
-    it_end, cur_end, lists = lax.while_loop(
-        cond, body, (jnp.int32(0), cur0, lists0)
+    cur_init = jnp.where(piece_len > 0, 0, tree.num_nodes).astype(jnp.int32)
+
+    def walk_block(b, carry):
+        lists_all, cur_all, visits_all = carry
+        t0 = b * ta_blk
+        blo = lax.dynamic_slice(bbox_lo, (t0, 0), (ta_blk, 3))
+        bhi = lax.dynamic_slice(bbox_hi, (t0, 0), (ta_blk, 3))
+        cur0 = lax.dynamic_slice(cur_all, (t0,), (ta_blk,))
+
+        def cond(carry):
+            it, cur, _, _ = carry
+            return (it < iter_cap) & jnp.any(cur < tree.num_nodes)
+
+        def body(carry):
+            it, cur, lists, visits = carry
+            rows = []
+            for _ in range(unroll):
+                done = cur >= tree.num_nodes
+                raw = jnp.take(tbl_i32, cur, axis=0)  # (TA, 8) int32
+                row = jax.lax.bitcast_convert_type(raw[:, :7], jnp.float32)
+                nskip = raw[:, 7]
+                cx, cy, cz = row[:, 0], row[:, 1], row[:, 2]
+                dx = jnp.maximum(jnp.maximum(blo[:, 0] - cx, cx - bhi[:, 0]), 0.0)
+                dy = jnp.maximum(jnp.maximum(blo[:, 1] - cy, cy - bhi[:, 1]), 0.0)
+                dz = jnp.maximum(jnp.maximum(blo[:, 2] - cz, cz - bhi[:, 2]), 0.0)
+                dmin = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                take = (row[:, WIDTH] < theta * dmin) | (row[:, NO_CHILD] > 0.0)
+                emit = take & ~done
+                rows.append(jnp.where(emit, cur, cap))
+                visits = visits + (~done).astype(jnp.int32)
+                nxt = jnp.where(take, nskip, cur + 1)
+                cur = jnp.where(done, cur, nxt)
+            lists = lax.dynamic_update_slice(
+                lists, jnp.stack(rows, axis=0), (it * unroll, jnp.int32(0))
+            )
+            return it + 1, cur, lists, visits
+
+        lists_b0 = jnp.full((r_cap, ta_blk), cap, jnp.int32)
+        visits_b0 = jnp.zeros((ta_blk,), jnp.int32)
+        _, cur_b, lists_b, visits_b = lax.while_loop(
+            cond, body, (jnp.int32(0), cur0, lists_b0, visits_b0)
+        )
+        lists_all = lax.dynamic_update_slice(lists_all, lists_b, (0, t0))
+        cur_all = lax.dynamic_update_slice(cur_all, cur_b, (t0,))
+        visits_all = lax.dynamic_update_slice(visits_all, visits_b, (t0,))
+        return lists_all, cur_all, visits_all
+
+    lists, cur_end, visits = lax.fori_loop(
+        0,
+        t_cap // ta_blk,
+        walk_block,
+        (
+            jnp.full((r_cap, t_cap), cap, jnp.int32),
+            cur_init,
+            jnp.zeros((t_cap,), jnp.int32),
+        ),
     )
     tile_bad = cur_end < tree.num_nodes  # timed out within the row budget
-    max_len = it_end * unroll
 
-    # ---- phase B: dense tile x list evaluation, chunked over the rows ----
+    # ---- phase B: dense tile x list evaluation ----
+    # Tiles are processed in blocks SORTED BY DESCENDING list length, each
+    # block chunking only up to its own longest list. With skewed scenes
+    # (galaxy disc: max visits ~6x the mean) a global-max chunk loop wastes
+    # most phase-B lanes on sentinel entries; block-local bounds make the
+    # work ~ sum(len) instead of T*max(len).
     chunk = min(256, r_cap)
-    assert r_cap % chunk == 0
+    assert r_cap % chunk == 0 and t_cap % t_blk == 0
+    n_blks = t_cap // t_blk
     e = params.e
-    px = tiles[:, :, 0:1]
-    py = tiles[:, :, 1:2]
-    pz = tiles[:, :, 2:3]
 
-    def eval_cond(carry):
-        c0, _ = carry
-        return c0 < max_len
+    order_t = jnp.argsort(-visits)  # heavy tiles first
+    lists_s = jnp.take(lists, order_t, axis=1)  # (R, T) column reorder
+    tiles_s = jnp.take(tiles, order_t, axis=0)
+    ls_s = jnp.take(ls_p, order_t, axis=0)
+    visits_s = jnp.take(visits, order_t)
 
-    def eval_body(carry):
-        c0, acc = carry
-        idx_c = lax.dynamic_slice(
-            lists, (c0, jnp.int32(0)), (chunk, t_cap)
-        ).T  # (T, C)
-        rows = jnp.take(tree.nodes_f32, idx_c.reshape(-1), axis=0).reshape(
-            t_cap, chunk, 8
-        )
-        dx = rows[:, None, :, 0] - px  # (T, G, C)
-        dy = rows[:, None, :, 1] - py
-        dz = rows[:, None, :, 2] - pz
-        r2 = dx * dx + dy * dy + dz * dz
-        m_mask = (idx_c[:, None, :] == ls_p[:, :, None]) | (
-            idx_c[:, None, :] >= cap
-        )
-        r2s = jnp.where(m_mask, 1.0, r2)
-        inv_r = lax.rsqrt(r2s)
-        r = r2s * inv_r
-        w = rows[:, None, :, MASS] * gdt * inv_r / (r2s * r + e)
-        w = jnp.where(m_mask, 0.0, w)
-        ax = jnp.sum(w * dx, axis=2)
-        ay = jnp.sum(w * dy, axis=2)
-        az = jnp.sum(w * dz, axis=2)
-        acc = acc + jnp.stack([ax, ay, az], axis=2)
-        return c0 + chunk, acc
+    def block_body(b, acc_sorted):
+        t0 = b * t_blk
+        blk_lists = lax.dynamic_slice(lists_s, (0, t0), (r_cap, t_blk))
+        blk_tiles = lax.dynamic_slice(tiles_s, (t0, 0, 0), (t_blk, g, 3))
+        blk_ls = lax.dynamic_slice(ls_s, (t0, 0), (t_blk, g))
+        blk_max = visits_s[t0]  # first tile of the block has its max length
+        px = blk_tiles[:, :, 0:1]
+        py = blk_tiles[:, :, 1:2]
+        pz = blk_tiles[:, :, 2:3]
 
-    acc0 = jnp.zeros((t_cap, g, 3), jnp.float32)
-    _, acc_tiles = lax.while_loop(eval_cond, eval_body, (jnp.int32(0), acc0))
+        def eval_cond(carry):
+            c0, _ = carry
+            return c0 < blk_max
+
+        def eval_body(carry):
+            c0, acc = carry
+            idx_c = lax.dynamic_slice(
+                blk_lists, (c0, jnp.int32(0)), (chunk, t_blk)
+            ).T  # (TB, C)
+            rows = jnp.take(
+                tree.nodes_f32, idx_c.reshape(-1), axis=0
+            ).reshape(t_blk, chunk, 8)
+            dx = rows[:, None, :, 0] - px  # (TB, G, C)
+            dy = rows[:, None, :, 1] - py
+            dz = rows[:, None, :, 2] - pz
+            r2 = dx * dx + dy * dy + dz * dz
+            m_mask = (idx_c[:, None, :] == blk_ls[:, :, None]) | (
+                idx_c[:, None, :] >= cap
+            )
+            r2s = jnp.where(m_mask, 1.0, r2)
+            inv_r = lax.rsqrt(r2s)
+            r = r2s * inv_r
+            w = rows[:, None, :, MASS] * gdt * inv_r / (r2s * r + e)
+            w = jnp.where(m_mask, 0.0, w)
+            ax = jnp.sum(w * dx, axis=2)
+            ay = jnp.sum(w * dy, axis=2)
+            az = jnp.sum(w * dz, axis=2)
+            return c0 + chunk, acc + jnp.stack([ax, ay, az], axis=2)
+
+        acc_blk0 = jnp.zeros((t_blk, g, 3), jnp.float32)
+        _, acc_blk = lax.while_loop(eval_cond, eval_body, (jnp.int32(0), acc_blk0))
+        return lax.dynamic_update_slice(acc_sorted, acc_blk, (t0, 0, 0))
+
+    acc_sorted = lax.fori_loop(
+        0, n_blks, block_body, jnp.zeros((t_cap, g, 3), jnp.float32)
+    )
+    # unsort: tile t sits at sorted position inv_order[t]
+    inv_order = jnp.argsort(order_t)
+    acc_tiles = jnp.take(acc_sorted, inv_order, axis=0)
 
     # map back: particle i -> (tile_id[i], slot[i])
     acc = acc_tiles[tile_id, jnp.minimum(slot, g - 1)]  # (N, 3)
@@ -224,9 +320,39 @@ def group_tree_forces(
     deferred = spilled | slot_ovf | tile_bad[tile_id]
     n_deferred = jnp.sum(deferred.astype(jnp.int32))
 
-    def with_fallback(acc):
+    # Compact the deferred lanes into the smallest fitting static batch
+    # (walk cost is O(batch * visits)); beyond the largest tier, walk
+    # full-width. Typical scenes defer a couple of extreme-density tiles
+    # (~hundreds of particles), so the small tier is the common case.
+    def make_compact(b_cap):
+        def fallback_compact(acc):
+            idx = jnp.nonzero(deferred, size=b_cap, fill_value=n)[0]
+            idx_c = jnp.minimum(idx, n - 1)
+            sub_tree = tree._replace(leaf_self=jnp.take(tree.leaf_self, idx_c))
+            acc_b = tree_forces(
+                jnp.take(pos_new, idx_c, axis=0), sub_tree, params,
+                tree_params, active=idx < n,
+            )
+            return acc.at[idx].set(acc_b, mode="drop")
+
+        return fallback_compact
+
+    def fallback_full(acc):
         acc_fb = tree_forces(pos_new, tree, params, tree_params, active=deferred)
         return jnp.where(deferred[:, None], acc_fb, acc)
 
-    acc = lax.cond(n_deferred > 0, with_fallback, lambda a: a, acc)
+    b_small = min(n, 4096)
+    b_large = min(n, max(8192, -(-n // 16)))
+
+    def dispatch(acc):
+        return lax.cond(
+            n_deferred <= b_small,
+            make_compact(b_small),
+            lambda a: lax.cond(
+                n_deferred <= b_large, make_compact(b_large), fallback_full, a
+            ),
+            acc,
+        )
+
+    acc = lax.cond(n_deferred > 0, dispatch, lambda a: a, acc)
     return acc, GroupWalkStats(deferred=n_deferred)

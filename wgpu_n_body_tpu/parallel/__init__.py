@@ -12,5 +12,12 @@ communication is XLA collectives over ICI:
 
 from wgpu_n_body_tpu.parallel.mesh import PARTICLE_AXIS, make_mesh, shard_state
 from wgpu_n_body_tpu.parallel.sharded_naive import ShardedNaiveSim
+from wgpu_n_body_tpu.parallel.sharded_tree import ShardedTreeSim
 
-__all__ = ["make_mesh", "shard_state", "ShardedNaiveSim", "PARTICLE_AXIS"]
+__all__ = [
+    "make_mesh",
+    "shard_state",
+    "ShardedNaiveSim",
+    "ShardedTreeSim",
+    "PARTICLE_AXIS",
+]
