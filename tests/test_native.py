@@ -41,6 +41,10 @@ def test_host_tree_invariants():
     assert t.skip[0] == m
     assert (t.skip[:m] > np.arange(m)).all()
     np.testing.assert_allclose(t.nodes_f32[0, 3], mass.sum(), rtol=1e-5)
+    # first/count: root spans all; leaf firsts are a permutation of 0..n-1
+    assert t.first[0] == 0 and t.count[0] == n
+    arena_leaves = t.nodes_f32[:m, 6] > 0
+    assert sorted(t.first[:m][arena_leaves].tolist()) == list(range(n))
 
 
 def test_host_dfs_order_matches_morton_sort():
@@ -69,7 +73,8 @@ def test_host_arena_forces_match_device_arena_forces():
 
     n = 400
     params = SimParams(particle_num=n, g=1e-3)
-    tp = TreeParams(theta=0.5, max_depth=16)
+    # the host tree subdivides to singletons: compare with leaf_bucket=1
+    tp = TreeParams(theta=0.5, max_depth=16, leaf_bucket=1)
     pos, mass = _pos_mass(n, seed=2)
     st = ParticleState(
         pos=jnp.asarray(pos), vel=jnp.zeros((n, 3)),
@@ -78,18 +83,23 @@ def test_host_arena_forces_match_device_arena_forces():
     # device path
     ss, bound, keys = morton_sort(st, tp.max_depth)
     dtree = build_tree(ss, keys, bound, tp)
-    dev = np.asarray(tree_forces(ss.pos, dtree, params, tp))
+    dev = np.asarray(tree_forces(ss.pos, ss.pos, ss.mass, dtree, params, tp))
     # host path (same sorted order per the test above)
     h = native.build_host_tree(pos, mass)
     m = h.nodes_f32.shape[0] - 1
     htree = TreeArrays(
         nodes_f32=jnp.asarray(h.nodes_f32),
         skip=jnp.asarray(h.skip),
-        leaf_self=jnp.asarray(h.leaf_self),
+        first=jnp.asarray(h.first),
+        count=jnp.asarray(h.count),
         num_nodes=jnp.asarray(m, jnp.int32),
         root_width=jnp.asarray(h.root_width),
     )
-    hst = np.asarray(tree_forces(jnp.asarray(pos[h.order]), htree, params, tp))
+    sorted_pos = jnp.asarray(pos[h.order])
+    sorted_mass = jnp.asarray(mass[h.order])
+    hst = np.asarray(
+        tree_forces(sorted_pos, sorted_pos, sorted_mass, htree, params, tp)
+    )
     np.testing.assert_allclose(hst, dev, rtol=5e-4, atol=1e-8)
     # and both approximate the truth
     exact = np.asarray(naive_forces_dense(ss.pos, ss.pos, ss.mass, params))
@@ -102,7 +112,7 @@ def test_hybrid_backend_matches_device_backend():
     from wgpu_n_body_tpu.models.tree_host import TreeSimHost
 
     params = SimParams(particle_num=256, g=1e-4)
-    tp = TreeParams(theta=0.5, max_depth=16, walk="per_particle")
+    tp = TreeParams(theta=0.5, max_depth=16, walk="per_particle", leaf_bucket=1)
     st = uniform_init(jax.random.key(3), params)
     dev_step = TreeSim(params, tp).make_step(donate=False)
     host_step = TreeSimHost(params, tp).make_step(donate=False)

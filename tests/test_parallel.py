@@ -43,6 +43,20 @@ def test_sharded_matches_single_device(schedule):
     )
 
 
+def test_ring_schedule_with_pallas_kernel():
+    # the Pallas kernel (interpret mode on CPU) inside shard_map's ring
+    mesh = make_mesh()
+    pallas_params = NaiveParams(use_pallas=True, tile_i=8, tile_j=128)
+    single = NaiveSim(PARAMS, NP_).make_step(donate=False)
+    sh = ShardedNaiveSim(PARAMS, mesh, pallas_params, schedule="ring")
+    st = uniform_init(jax.random.key(7), PARAMS)
+    a = single(st)
+    b = sh.make_step(donate=False)(shard_state(st, mesh))
+    np.testing.assert_allclose(
+        np.asarray(a.acc), np.asarray(b.acc), rtol=1e-4, atol=1e-8
+    )
+
+
 def test_sharded_state_is_actually_sharded():
     mesh = make_mesh()
     sim = ShardedNaiveSim(PARAMS, mesh, NP_)

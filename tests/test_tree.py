@@ -57,9 +57,9 @@ def test_morton_sort_orders_by_key_and_preserves_multiset():
     )
 
 
-def test_build_invariants():
+def test_build_invariants_singleton_leaves():
     n = 300
-    tp = TreeParams(max_depth=10)
+    tp = TreeParams(max_depth=10, leaf_bucket=1)  # reference structure
     st = _state(jax.random.key(1), n)
     sorted_st, bound, keys = morton_sort(st, tp.max_depth)
     tree = build_tree(sorted_st, keys, bound, tp)
@@ -68,9 +68,12 @@ def test_build_invariants():
     assert 0 < m <= cap
     nodes = np.asarray(tree.nodes_f32)
     skip = np.asarray(tree.skip)
+    first = np.asarray(tree.first)
+    count = np.asarray(tree.count)
     # root covers everything
     np.testing.assert_allclose(nodes[0, MASS], float(jnp.sum(st.mass)), rtol=1e-5)
     assert skip[0] == m
+    assert first[0] == 0 and count[0] == n
     assert nodes[0, WIDTH] == float(tree.root_width) == 2.0
     # singleton leaves partition the particles (no shared depth-10 cells here)
     singles = nodes[:m, IS_SINGLE] > 0
@@ -80,10 +83,11 @@ def test_build_invariants():
         np.sort(np.asarray(st.mass)),
         rtol=1e-6,
     )
-    # leaf cog is the exact particle position
-    leaf_self = np.asarray(tree.leaf_self)
+    # leaf cog is exactly its own particle's position, and first points at it
     pos = np.asarray(sorted_st.pos)
-    np.testing.assert_array_equal(nodes[leaf_self, 0:3], pos)
+    leaf_first = first[:m][singles]
+    np.testing.assert_array_equal(nodes[:m][singles][:, 0:3], pos[leaf_first])
+    assert sorted(leaf_first.tolist()) == list(range(n))
     # skip pointers strictly advance and stay in range
     idx = np.arange(m)
     assert (skip[:m] > idx).all() and (skip[:m] <= m).all()
@@ -93,6 +97,36 @@ def test_build_invariants():
     assert (nodes[child[has_child], MASS] <= nodes[idx[has_child], MASS] + 1e-4).all()
 
 
+def test_build_invariants_bucket_leaves():
+    n = 300
+    k = 8
+    tp = TreeParams(max_depth=10, leaf_bucket=k)
+    st = _state(jax.random.key(1), n)
+    sorted_st, bound, keys = morton_sort(st, tp.max_depth)
+    tree = build_tree(sorted_st, keys, bound, tp)
+    m = int(tree.num_nodes)
+    nodes = np.asarray(tree.nodes_f32)
+    skip = np.asarray(tree.skip)
+    first = np.asarray(tree.first)
+    count = np.asarray(tree.count)
+    no_child = nodes[:m, 6] > 0
+    # leaves hold <= k particles and exactly tile the sorted particle axis
+    assert (count[:m][no_child] <= k).all() and (count[:m][no_child] >= 1).all()
+    order = np.argsort(first[:m][no_child])
+    f = first[:m][no_child][order]
+    c = count[:m][no_child][order]
+    assert f[0] == 0 and (f[1:] == (f + c)[:-1]).all() and f[-1] + c[-1] == n
+    # internal nodes have > k particles (subdivide-while->bucket rule)
+    assert (count[:m][~no_child] > k).all()
+    # skip == first-of-next-subtree consistency: skip[i] node starts at
+    # particle first[i]+count[i] (or m at the end)
+    nxt = skip[:m]
+    ok = nxt < m
+    np.testing.assert_array_equal(
+        first[:m][ok] + count[:m][ok], first[nxt[ok]]
+    )
+
+
 def test_theta_zero_equals_naive():
     n = 128
     params = SimParams(particle_num=n, g=1e-3)
@@ -100,7 +134,7 @@ def test_theta_zero_equals_naive():
     st = _state(jax.random.key(2), n)
     sorted_st, bound, keys = morton_sort(st, tp.max_depth)
     tree = build_tree(sorted_st, keys, bound, tp)
-    got = tree_forces(sorted_st.pos, tree, params, tp)
+    got = tree_forces(sorted_st.pos, sorted_st.pos, sorted_st.mass, tree, params, tp)
     want = naive_forces_dense(sorted_st.pos, sorted_st.pos, sorted_st.mass, params)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-8)
 
@@ -114,7 +148,9 @@ def test_theta_accuracy_improves_as_theta_shrinks():
         tp = TreeParams(theta=theta, max_depth=10)
         sorted_st, bound, keys = morton_sort(st, tp.max_depth)
         tree = build_tree(sorted_st, keys, bound, tp)
-        got = np.asarray(tree_forces(sorted_st.pos, tree, params, tp))
+        got = np.asarray(
+            tree_forces(sorted_st.pos, sorted_st.pos, sorted_st.mass, tree, params, tp)
+        )
         want = np.asarray(
             naive_forces_dense(sorted_st.pos, sorted_st.pos, sorted_st.mass, params)
         )
@@ -160,10 +196,11 @@ def test_tree_vs_naive_trajectory_short():
     np.testing.assert_allclose(pa, pb, rtol=1e-3, atol=5e-5)
 
 
-def test_shared_terminal_cell_no_self_blowup():
-    # Two exactly coincident particles share a terminal cell at any depth;
-    # they skip their shared leaf (no NaN), while a third far particle
-    # still feels both.
+def test_coincident_pair_matches_naive_semantics():
+    # Two exactly coincident particles land in one bucket and are
+    # direct-summed: the coincident pair produces the same NaN the naive
+    # kernel (WGSL normalize(0)) produces — full parity — while a third
+    # far particle is unaffected and pulled toward the pair.
     params = SimParams(particle_num=3, g=1e-2)
     tp = TreeParams(theta=0.5, max_depth=4)
     pos = jnp.array([[0.5, 0.5, 0.5], [0.5, 0.5, 0.5], [-0.5, -0.5, -0.5]], jnp.float32)
@@ -175,10 +212,17 @@ def test_shared_terminal_cell_no_self_blowup():
     )
     sorted_st, bound, keys = morton_sort(st, tp.max_depth)
     tree = build_tree(sorted_st, keys, bound, tp)
-    acc = np.asarray(tree_forces(sorted_st.pos, tree, params, tp))
-    assert np.isfinite(acc).all()
-    # the lone particle is pulled toward the pair
+    acc = np.asarray(
+        tree_forces(sorted_st.pos, sorted_st.pos, sorted_st.mass, tree, params, tp)
+    )
+    want = np.asarray(
+        naive_forces_dense(sorted_st.pos, sorted_st.pos, sorted_st.mass, params)
+    )
     lone = np.asarray(sorted_st.pos)[:, 0] < 0
+    assert np.isnan(want[~lone]).any()  # naive NaNs the coincident pair
+    np.testing.assert_array_equal(np.isnan(acc), np.isnan(want))
+    assert np.isfinite(acc[lone]).all()
+    np.testing.assert_allclose(acc[lone], want[lone], rtol=1e-5)
     assert acc[lone][0] @ np.array([1.0, 1.0, 1.0]) > 0
 
 

@@ -23,23 +23,30 @@ def _state(key, n):
     )
 
 
-def _forces(st, theta, n, tile=32, l_cap=2048):
+def _forces(st, theta, n, tile=32, l_cap=2048, bucket=16):
     params = SimParams(particle_num=n, g=1e-3)
     tp = TreeParams(
-        theta=theta, max_depth=10, walk_tile=tile, walk_list_cap=l_cap
+        theta=theta, max_depth=10, walk_tile=tile, walk_list_cap=l_cap,
+        leaf_bucket=bucket,
     )
     ss, bound, keys = morton_sort(st, tp.max_depth)
     tree = build_tree(ss, keys, bound, tp)
-    grp, stats = group_tree_forces(ss.pos, tree, keys, params, tp)
-    per = tree_forces(ss.pos, tree, params, tp)
+    grp, stats = group_tree_forces(
+        ss.pos, ss.pos, ss.mass, tree, keys, params, tp
+    )
+    per = tree_forces(ss.pos, ss.pos, ss.mass, tree, params, tp)
     exact = naive_forces_dense(ss.pos, ss.pos, ss.mass, params)
     return np.asarray(grp), np.asarray(per), np.asarray(exact), int(stats.deferred)
 
 
 def test_group_theta_zero_equals_naive():
     n = 200  # not a multiple of the tile -> exercises padding
-    grp, _, exact, _ = _forces(_state(jax.random.key(0), n), 0.0, n)
-    np.testing.assert_allclose(grp, exact, rtol=2e-4, atol=1e-8)
+    for bucket in (1, 16):
+        grp, per, exact, _ = _forces(
+            _state(jax.random.key(0), n), 0.0, n, bucket=bucket
+        )
+        np.testing.assert_allclose(grp, exact, rtol=2e-4, atol=1e-8)
+        np.testing.assert_allclose(per, exact, rtol=2e-4, atol=1e-8)
 
 
 def test_group_at_least_as_accurate_as_per_particle():
@@ -59,7 +66,7 @@ def test_group_list_overflow_defers_but_stays_exact():
     # all-pairs answer — overflow degrades speed, never physics.
     n = 256
     grp, _, exact, deferred = _forces(
-        _state(jax.random.key(2), n), 0.0, n, tile=32, l_cap=128
+        _state(jax.random.key(2), n), 0.0, n, tile=32, l_cap=128, bucket=1
     )
     assert deferred == n
     np.testing.assert_allclose(grp, exact, rtol=2e-4, atol=1e-8)

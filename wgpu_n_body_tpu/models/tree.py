@@ -36,20 +36,29 @@ def _tree_step_fn(params: SimParams, tp: TreeParams) -> StepFn:
     def step(state: ParticleState) -> ParticleState:
         # Tree and sort operate on pre-step positions, exactly like the
         # reference (encode builds/sorts from the src buffer, tree.rs:271-297,
-        # before the compute dispatch integrates).
-        state_sorted, bound, keys = morton_sort(state, tp.max_depth)
-        tree = build_tree(state_sorted, keys, bound, tp)
+        # before the compute dispatch integrates). Trace scopes mirror the
+        # reference's GPU debug groups (tree.rs:315,341).
+        with jax.named_scope("morton_sort"):
+            state_sorted, bound, keys = morton_sort(state, tp.max_depth)
+        with jax.named_scope("tree_build"):
+            tree = build_tree(state_sorted, keys, bound, tp)
 
         if tp.walk == "group":
 
-            def force(pos_new, _pos_old, _mass):
-                acc, _stats = group_tree_forces(pos_new, tree, keys, params, tp)
+            def force(pos_new, pos_old, mass):
+                with jax.named_scope("theta_walk"):
+                    acc, _stats = group_tree_forces(
+                        pos_new, pos_old, mass, tree, keys, params, tp
+                    )
                 return acc
 
         elif tp.walk == "per_particle":
 
-            def force(pos_new, _pos_old, _mass):
-                return tree_forces(pos_new, tree, params, tp)
+            def force(pos_new, pos_old, mass):
+                with jax.named_scope("theta_walk"):
+                    return tree_forces(
+                        pos_new, pos_old, mass, tree, params, tp
+                    )
 
         else:
             raise ValueError(f"unknown walk {tp.walk!r}")

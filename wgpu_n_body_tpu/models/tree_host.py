@@ -14,6 +14,7 @@ The arena is padded to the static 4N cap so the jitted step compiles once.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -30,9 +31,12 @@ from wgpu_n_body_tpu.params import ParticleState, SimParams, TreeParams
 
 @functools.lru_cache(maxsize=None)
 def _walk_step(params: SimParams, tp: TreeParams, donate: bool) -> StepFn:
+    # the host tree subdivides to singletons: walk with leaf_bucket=1
+    tp_walk = dataclasses.replace(tp, leaf_bucket=1)
+
     def step(state: ParticleState, tree: TreeArrays) -> ParticleState:
-        def force(pos_new, _pos_old, _mass):
-            return tree_forces(pos_new, tree, params, tp)
+        def force(pos_new, pos_old, mass):
+            return tree_forces(pos_new, pos_old, mass, tree, params, tp_walk)
 
         return leapfrog_step(state, params, force)
 
@@ -74,10 +78,16 @@ class TreeSimHost(Simulator):
             nodes[cap] = host.nodes_f32[m]  # sentinel row
             skip = np.full((cap + 1,), cap, np.int32)
             skip[:m] = host.skip[:m]
+            n = self.sim_params.particle_num
+            first = np.full((cap + 1,), n, np.int32)
+            first[:m] = host.first[:m]
+            count = np.zeros((cap + 1,), np.int32)
+            count[:m] = host.count[:m]
             tree = TreeArrays(
                 nodes_f32=jnp.asarray(nodes),
                 skip=jnp.asarray(skip),
-                leaf_self=jnp.asarray(host.leaf_self),
+                first=jnp.asarray(first),
+                count=jnp.asarray(count),
                 num_nodes=jnp.asarray(m, jnp.int32),
                 root_width=jnp.asarray(host.root_width, jnp.float32),
             )

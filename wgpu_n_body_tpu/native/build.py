@@ -61,6 +61,7 @@ def _compile_and_load():
         lib.nbody_to_dfs_arena.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_float, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
         ]
         _LIB = lib
     except Exception as ex:  # missing compiler, sandbox, ...
@@ -81,7 +82,8 @@ class HostOctree(NamedTuple):
     root_width: float
     nodes_f32:  (m+1, 8) f32 DFS arena (ops/tree_build.py layout)
     skip:       (m+1,) int32
-    leaf_self:  (n,) int32 — per *sorted* particle
+    first:      (m+1,) int32 — SORTED index of each node's first particle
+    count:      (m+1,) int32 — particles per subtree
     """
 
     octants: np.ndarray
@@ -89,7 +91,8 @@ class HostOctree(NamedTuple):
     root_width: float
     nodes_f32: np.ndarray
     skip: np.ndarray
-    leaf_self: np.ndarray
+    first: np.ndarray
+    count: np.ndarray
 
     @property
     def num_nodes(self) -> int:
@@ -139,11 +142,13 @@ def build_host_tree(
         raise RuntimeError(f"DFS order emitted {cnt} of {n} particles")
     nodes_f32 = np.zeros((m + 1, 8), np.float32)
     skip = np.zeros((m + 1,), np.int32)
-    leaf_self = np.zeros((n,), np.int32)
+    first = np.zeros((m + 1,), np.int32)
+    count = np.zeros((m + 1,), np.int32)
     dfs_n = _LIB.nbody_to_dfs_arena(
         octants.ctypes.data, m, n, order.ctypes.data,
         ctypes.c_float(float(root_width[0])),
-        nodes_f32.ctypes.data, skip.ctypes.data, leaf_self.ctypes.data,
+        nodes_f32.ctypes.data, skip.ctypes.data, first.ctypes.data,
+        count.ctypes.data,
     )
     if dfs_n < 0:
         raise RuntimeError("DFS arena overflow")
@@ -153,5 +158,6 @@ def build_host_tree(
         root_width=float(root_width[0]),
         nodes_f32=nodes_f32,
         skip=skip,
-        leaf_self=leaf_self,
+        first=first,
+        count=count,
     )

@@ -181,12 +181,16 @@ int64_t nbody_dfs_order(const Octant* octants, int64_t num_octants,
 // reference-layout tree, for device walks:
 //   nodes_f32: (cap+1, 8) [cog xyz, mass, width, is_single, no_child, 0]
 //   skip:      (cap+1,) int32
-//   leaf_self: per SORTED particle, its own leaf's DFS index (or cap)
-// Requires `order` from nbody_dfs_order (maps sorted position -> original
-// particle index). Returns the DFS node count.
+//   first:     (cap+1,) int32 — ORIGINAL index of the node's first
+//              particle (callers remap to sorted order via the DFS order)
+//   count:     (cap+1,) int32 — particles in the node's subtree
+// Returns the DFS node count.
+// Also returns via `first` the DFS-position of each subtree's first
+// particle because DFS emission visits particles in sorted order.
 static int64_t emit_dfs(const Octant* octants, uint32_t node, float width,
-                        float* nodes, int32_t* skip, int64_t cap,
-                        int64_t& next, std::vector<int64_t>& leaf_of) {
+                        float* nodes, int32_t* skip, int32_t* first,
+                        int32_t* count, int64_t cap, int64_t& next,
+                        int64_t& next_particle) {
   const Octant& o = octants[node];
   int64_t my = next++;
   if (my >= cap) return -1;
@@ -202,13 +206,17 @@ static int64_t emit_dfs(const Octant* octants, uint32_t node, float width,
   row[5] = is_leaf ? 1.0f : 0.0f;
   row[6] = is_leaf ? 1.0f : 0.0f;
   row[7] = 0.0f;
+  // particles are consumed in DFS order == the sorted order, so the
+  // node's first particle's SORTED index is next_particle
+  first[my] = int32_t(next_particle);
+  count[my] = int32_t(o.bodies);
   if (is_leaf) {
-    leaf_of[size_t(o.children[0])] = my;
+    next_particle++;
   } else {
     for (int c = 0; c < 8; c++) {
       if (o.children[c] != 0) {
         int64_t r = emit_dfs(octants, o.children[c], width / 2.0f, nodes,
-                             skip, cap, next, leaf_of);
+                             skip, first, count, cap, next, next_particle);
         if (r < 0) return -1;
       }
     }
@@ -219,10 +227,20 @@ static int64_t emit_dfs(const Octant* octants, uint32_t node, float width,
 
 int64_t nbody_to_dfs_arena(const Octant* octants, int64_t num_octants,
                            int64_t n, const int64_t* order, float root_width,
-                           float* nodes_f32, int32_t* skip,
-                           int32_t* leaf_self_sorted) {
-  // ABI: nodes/skip must hold num_octants+1 rows; cap = num_octants.
+                           float* nodes_f32, int32_t* skip, int32_t* first,
+                           int32_t* count) {
+  (void)order;
+  // ABI: nodes/skip/first/count must hold num_octants+1 rows.
   int64_t cap = num_octants;
+  auto sentinel = [&]() {
+    float* srow = &nodes_f32[8 * cap];
+    for (int k = 0; k < 8; k++) srow[k] = 0.0f;
+    srow[0] = 1e30f;
+    srow[6] = 1.0f;
+    skip[cap] = int32_t(cap);
+    first[cap] = int32_t(n);
+    count[cap] = 0;
+  };
   if (n == 1) {
     float* row = &nodes_f32[0];
     row[0] = octants[0].cog[0];
@@ -233,32 +251,16 @@ int64_t nbody_to_dfs_arena(const Octant* octants, int64_t num_octants,
     row[5] = row[6] = 1.0f;
     row[7] = 0.0f;
     skip[0] = 1;
-    leaf_self_sorted[0] = 0;
-    float* srow = &nodes_f32[8 * cap];
-    for (int k = 0; k < 8; k++) srow[k] = 0.0f;
-    srow[0] = 1e30f;
-    srow[6] = 1.0f;
-    skip[cap] = int32_t(cap);
+    first[0] = 0;
+    count[0] = 1;
+    sentinel();
     return 1;
   }
-  std::vector<int64_t> leaf_of(size_t(n), -1);
-  int64_t next = 0;
-  if (emit_dfs(octants, 0, root_width, nodes_f32, skip, cap, next, leaf_of) <
-      0)
+  int64_t next = 0, next_particle = 0;
+  if (emit_dfs(octants, 0, root_width, nodes_f32, skip, first, count, cap,
+               next, next_particle) < 0)
     return -1;
-  // sentinel row
-  float* srow = &nodes_f32[8 * cap];
-  for (int k = 0; k < 8; k++) srow[k] = 0.0f;
-  srow[0] = 1e30f;
-  srow[6] = 1.0f;
-  skip[cap] = int32_t(cap);
-  // leaf_self in sorted order: sorted position s holds original particle
-  // order[s]; every particle has a singleton leaf (coincident clusters are
-  // rejected at build with -2)
-  for (int64_t s = 0; s < n; s++) {
-    int64_t lf = leaf_of[size_t(order[s])];
-    leaf_self_sorted[s] = int32_t(lf >= 0 ? lf : cap);
-  }
+  sentinel();
   return next;
 }
 

@@ -52,8 +52,11 @@ class TreeArrays(NamedTuple):
     nodes_f32:  (cap+1, 8) float32 [cog xyz, mass, width, is_single,
                 no_child, unused]; row ``cap`` is the inert sentinel.
     skip:       (cap+1,) int32 — next DFS node outside this subtree.
-    leaf_self:  (N,) int32 — index of particle i's own singleton leaf, or
-                cap (never matched) if i shares a terminal multi-leaf.
+    first:      (cap+1,) int32 — index (in the sorted particle order) of
+                the node's first particle; with ``count`` this is the
+                contiguous particle range for direct (exact) evaluation of
+                leaf buckets.
+    count:      (cap+1,) int32 — particles in the node's subtree.
     num_nodes:  () int32 — real node count (walk termination bound; if this
                 exceeds cap the tree overflowed and must be rebuilt deeper).
     root_width: () float32 — 2 * bound (tree.rs:450).
@@ -61,7 +64,8 @@ class TreeArrays(NamedTuple):
 
     nodes_f32: jax.Array
     skip: jax.Array
-    leaf_self: jax.Array
+    first: jax.Array
+    count: jax.Array
     num_nodes: jax.Array
     root_width: jax.Array
 
@@ -147,12 +151,14 @@ def build_tree(
         seg_sum_m.append(tot[:, 0])
         seg_sum_mp.append(tot[:, 1:4])
 
-    # A node is real iff root, or its parent run holds >= 2 particles
-    # (the reference only subdivides multi-particle partitions,
-    # tree.rs:506-540).
+    # A node is real iff root, or its parent run holds more than
+    # leaf_bucket particles. With leaf_bucket=1 this is the reference's
+    # subdivide-while->=2 rule (tree.rs:506-540); larger buckets stop
+    # early and are evaluated exactly by direct summation when opened.
+    bucket = params.leaf_bucket
     real = [starts[0]]
     for lvl in range(1, depth + 1):
-        real.append(starts[lvl] & (counts[lvl - 1] >= 2))
+        real.append(starts[lvl] & (counts[lvl - 1] > bucket))
 
     # DFS enumeration by (start particle, level).
     c_per_particle = sum(r.astype(jnp.int32) for r in real)
@@ -172,14 +178,13 @@ def build_tree(
     #     the stackless walk loop forever (observed as a TPU worker hang).
     payloads = []
     skip_payloads = []
+    count_payloads = []
     real_bits = jnp.zeros((n,), jnp.int32)
-    leaf_self = jnp.full((n,), cap, jnp.int32)
-    rank_acc = jnp.zeros((n,), jnp.int32)
     for lvl in range(depth + 1):
         r = real[lvl]
         cnt = counts[lvl]
         is_single = cnt == 1
-        no_child = is_single | (lvl == depth)
+        no_child = (cnt <= bucket) | (lvl == depth)
         # cog: exact particle position for singletons (tree.rs:525-529),
         # mass-weighted mean otherwise.
         cog = jnp.where(
@@ -203,14 +208,11 @@ def build_tree(
             )
         )
         skip_payloads.append(node_skip)
+        count_payloads.append(cnt)
         real_bits = real_bits | (r.astype(jnp.int32) << lvl)
-        # Own singleton leaf: first (shallowest) real singleton starting at
-        # i — its chain below is suppressed by the parent>=2 rule.
-        take = r & is_single & (leaf_self == cap)
-        leaf_self = jnp.where(take, offset + rank_acc, leaf_self)
-        rank_acc = rank_acc + r.astype(jnp.int32)
     payload_all = jnp.concatenate(payloads, axis=0)  # (17n, 8)
     skip_all = jnp.concatenate(skip_payloads)  # (17n,) int32
+    count_all = jnp.concatenate(count_payloads)  # (17n,) int32
 
     # (b) particle-of-node over the arena: one n-sized scatter + cummax.
     kk = jnp.arange(cap, dtype=jnp.int32)
@@ -229,7 +231,7 @@ def build_tree(
         below = jax.lax.population_count(mask_k & ((1 << lvl) - 1))
         hit = (((mask_k >> lvl) & 1) > 0) & (below == rank)
         lvl_of = jnp.where(hit, lvl, lvl_of)
-    # (d) one row gather + one int gather + sentinel fill.
+    # (d) gathers + sentinel fill. first particle of node k IS pon(k).
     valid = kk < num_nodes
     flat = lvl_of * n + pon_c
     rows = jnp.take(payload_all, flat, axis=0)
@@ -239,21 +241,16 @@ def build_tree(
     nodes = jnp.concatenate([rows, sentinel[None, :]], axis=0)  # (cap+1, 8)
     skip = jnp.where(valid, jnp.take(skip_all, flat), cap)
     skip = jnp.concatenate([skip, jnp.full((1,), cap, jnp.int32)])
-
-    # Particles inside a terminal multi-leaf don't start it; point them at
-    # the leaf that contains them so self-exclusion still works there.
-    # (counts[depth] > 1 means particle shares a depth-D cell.)
-    run_start = run_starts[depth]  # (n,) first particle of my D-run
-    shared = counts[depth] > 1
-    # index of the terminal node starting at run_start, if real: it is the
-    # deepest node there = offset[run_start] + c_per_particle[run_start] - 1
-    term_idx = offset[run_start] + c_per_particle[run_start] - 1
-    leaf_self = jnp.where(shared, term_idx, leaf_self)
+    first = jnp.where(valid, pon_c, n)
+    first = jnp.concatenate([first, jnp.full((1,), n, jnp.int32)])
+    count = jnp.where(valid, jnp.take(count_all, flat), 0)
+    count = jnp.concatenate([count, jnp.zeros((1,), jnp.int32)])
 
     return TreeArrays(
         nodes_f32=nodes,
         skip=skip,
-        leaf_self=leaf_self,
+        first=first,
+        count=count,
         num_nodes=num_nodes,
         root_width=jnp.asarray(root_width, jnp.float32),
     )

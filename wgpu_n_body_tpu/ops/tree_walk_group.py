@@ -114,17 +114,30 @@ def _tile_assignment(keys, n, depth, g_tile):
 
 def group_tree_forces(
     pos_new: jax.Array,
+    src_pos: jax.Array,
+    src_mass: jax.Array,
     tree: TreeArrays,
     keys: tuple[jax.Array, jax.Array],
     params: SimParams,
     tree_params: TreeParams,
+    gid_offset: jax.Array | int = 0,
 ) -> tuple[jax.Array, GroupWalkStats]:
-    """Returns ((N,3) acc*dt, stats). ``keys`` are the Morton keys the
-    particles are sorted by (from ops.tree_build.morton_sort)."""
-    n = pos_new.shape[0]
+    """Returns ((B,3) acc*dt, stats).
+
+    pos_new:  (B, 3) post-drift receiver positions, a contiguous slice of
+              the sorted order (B == N single-chip; a shard otherwise).
+    src_pos:  (N, 3) pre-step source positions, FULL sorted order (direct
+              bucket evaluation reads these — the reference's src buffer).
+    src_mass: (N,) sorted masses.
+    keys:     Morton keys of the receivers (same slice as pos_new).
+    gid_offset: global sorted index of receiver row 0 (shard offset).
+    """
+    n = pos_new.shape[0]  # receivers
+    n_src = src_pos.shape[0]
     cap = tree.nodes_f32.shape[0] - 1
     g = tree_params.walk_tile
     l_cap = tree_params.walk_list_cap
+    bucket = tree_params.leaf_bucket
     theta = tree_params.theta
     gdt = params.g * params.dt
     depth = tree_params.max_depth
@@ -152,12 +165,23 @@ def group_tree_forces(
         max(n - 1, 0),
     )  # (T, G)
     tiles = pos_new[part_idx]  # (T, G, 3)
-    ls_p = tree.leaf_self[part_idx]  # (T, G)
+    # GLOBAL sorted index per slot, for exact self-exclusion in direct
+    # bucket sums; invalid (padding) slots get n_src (matches nothing)
     valid_slot = sidx[None, :] < piece_len[:, None]
-    ls_p = jnp.where(valid_slot, ls_p, cap)
+    slot_gid = jnp.where(valid_slot, part_idx + gid_offset, n_src)  # (T, G)
 
     bbox_lo = jnp.min(tiles, axis=1)  # (T, 3)
     bbox_hi = jnp.max(tiles, axis=1)
+
+    # (n_src+1, 4) source table [pos xyz, mass]; last row = zero-mass
+    # sentinel
+    src_tbl = jnp.concatenate(
+        [
+            jnp.concatenate([src_pos, jnp.full((1, 3), 1e15, jnp.float32)]),
+            jnp.concatenate([src_mass, jnp.zeros((1,), jnp.float32)])[:, None],
+        ],
+        axis=1,
+    )
 
     # ---- phase A: tile traversals -> interaction lists ----
     # Emission is ITERATION-indexed: traversal step k writes row k of an
@@ -213,9 +237,13 @@ def group_tree_forces(
                 dy = jnp.maximum(jnp.maximum(blo[:, 1] - cy, cy - bhi[:, 1]), 0.0)
                 dz = jnp.maximum(jnp.maximum(blo[:, 2] - cz, cz - bhi[:, 2]), 0.0)
                 dmin = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-                take = (row[:, WIDTH] < theta * dmin) | (row[:, NO_CHILD] > 0.0)
+                theta_ok = row[:, WIDTH] < theta * dmin
+                take = theta_ok | (row[:, NO_CHILD] > 0.0)
                 emit = take & ~done
-                rows.append(jnp.where(emit, cur, cap))
+                # far entries: node index; near (opened bucket) entries:
+                # -(node+1), direct-summed in phase B; sentinel: cap
+                entry = jnp.where(theta_ok, cur, -(cur + 1))
+                rows.append(jnp.where(emit, entry, cap))
                 visits = visits + (~done).astype(jnp.int32)
                 nxt = jnp.where(take, nskip, cur + 1)
                 cur = jnp.where(done, cur, nxt)
@@ -260,14 +288,14 @@ def group_tree_forces(
     order_t = jnp.argsort(-visits)  # heavy tiles first
     lists_s = jnp.take(lists, order_t, axis=1)  # (R, T) column reorder
     tiles_s = jnp.take(tiles, order_t, axis=0)
-    ls_s = jnp.take(ls_p, order_t, axis=0)
+    gid_s = jnp.take(slot_gid, order_t, axis=0)
     visits_s = jnp.take(visits, order_t)
 
     def block_body(b, acc_sorted):
         t0 = b * t_blk
         blk_lists = lax.dynamic_slice(lists_s, (0, t0), (r_cap, t_blk))
         blk_tiles = lax.dynamic_slice(tiles_s, (t0, 0, 0), (t_blk, g, 3))
-        blk_ls = lax.dynamic_slice(ls_s, (t0, 0), (t_blk, g))
+        blk_gid = lax.dynamic_slice(gid_s, (t0, 0), (t_blk, g))
         blk_max = visits_s[t0]  # first tile of the block has its max length
         px = blk_tiles[:, :, 0:1]
         py = blk_tiles[:, :, 1:2]
@@ -282,24 +310,63 @@ def group_tree_forces(
             idx_c = lax.dynamic_slice(
                 blk_lists, (c0, jnp.int32(0)), (chunk, t_blk)
             ).T  # (TB, C)
+            is_far = (idx_c >= 0) & (idx_c < cap)
+            is_near = idx_c < 0
+            node_ix = jnp.where(is_near, -idx_c - 1, jnp.where(is_far, idx_c, cap))
             rows = jnp.take(
-                tree.nodes_f32, idx_c.reshape(-1), axis=0
+                tree.nodes_f32, node_ix.reshape(-1), axis=0
             ).reshape(t_blk, chunk, 8)
+            # far entries: point-mass evaluation (tree.wgsl:66-67)
             dx = rows[:, None, :, 0] - px  # (TB, G, C)
             dy = rows[:, None, :, 1] - py
             dz = rows[:, None, :, 2] - pz
             r2 = dx * dx + dy * dy + dz * dz
-            m_mask = (idx_c[:, None, :] == blk_ls[:, :, None]) | (
-                idx_c[:, None, :] >= cap
-            )
-            r2s = jnp.where(m_mask, 1.0, r2)
+            far_m = is_far[:, None, :]
+            r2s = jnp.where(far_m, r2, 1.0)
             inv_r = lax.rsqrt(r2s)
             r = r2s * inv_r
             w = rows[:, None, :, MASS] * gdt * inv_r / (r2s * r + e)
-            w = jnp.where(m_mask, 0.0, w)
+            w = jnp.where(far_m, w, 0.0)
             ax = jnp.sum(w * dx, axis=2)
             ay = jnp.sum(w * dy, axis=2)
             az = jnp.sum(w * dz, axis=2)
+            # near entries: exact direct sum over the bucket's particles,
+            # self excluded by global index (naive.wgsl:30-32 semantics).
+            # Gated per chunk: most chunks carry no near entries, and the
+            # direct sum costs `bucket` sub-passes of the chunk shape.
+            def near_sum(args):
+                ax, ay, az = args
+                nfirst = jnp.take(tree.first, node_ix.reshape(-1)).reshape(
+                    t_blk, chunk
+                )
+                ncnt = jnp.take(tree.count, node_ix.reshape(-1)).reshape(
+                    t_blk, chunk
+                )
+                for k in range(bucket):
+                    j = jnp.where(is_near & (k < ncnt), nfirst + k, n_src)
+                    srow = jnp.take(src_tbl, j.reshape(-1), axis=0).reshape(
+                        t_blk, chunk, 4
+                    )
+                    sdx = srow[:, None, :, 0] - px
+                    sdy = srow[:, None, :, 1] - py
+                    sdz = srow[:, None, :, 2] - pz
+                    sr2 = sdx * sdx + sdy * sdy + sdz * sdz
+                    ok = (j[:, None, :] != blk_gid[:, :, None]) & (
+                        j[:, None, :] < n_src
+                    )
+                    sr2s = jnp.where(ok, sr2, 1.0)
+                    sinv = lax.rsqrt(sr2s)
+                    sr = sr2s * sinv
+                    sw = srow[:, None, :, 3] * gdt * sinv / (sr2s * sr + e)
+                    sw = jnp.where(ok, sw, 0.0)
+                    ax = ax + jnp.sum(sw * sdx, axis=2)
+                    ay = ay + jnp.sum(sw * sdy, axis=2)
+                    az = az + jnp.sum(sw * sdz, axis=2)
+                return ax, ay, az
+
+            ax, ay, az = lax.cond(
+                jnp.any(is_near), near_sum, lambda a: a, (ax, ay, az)
+            )
             return c0 + chunk, acc + jnp.stack([ax, ay, az], axis=2)
 
         acc_blk0 = jnp.zeros((t_blk, g, 3), jnp.float32)
@@ -328,17 +395,20 @@ def group_tree_forces(
         def fallback_compact(acc):
             idx = jnp.nonzero(deferred, size=b_cap, fill_value=n)[0]
             idx_c = jnp.minimum(idx, n - 1)
-            sub_tree = tree._replace(leaf_self=jnp.take(tree.leaf_self, idx_c))
             acc_b = tree_forces(
-                jnp.take(pos_new, idx_c, axis=0), sub_tree, params,
-                tree_params, active=idx < n,
+                jnp.take(pos_new, idx_c, axis=0), src_pos, src_mass, tree,
+                params, tree_params, active=idx < n,
+                self_idx=gid_offset + idx_c,
             )
             return acc.at[idx].set(acc_b, mode="drop")
 
         return fallback_compact
 
     def fallback_full(acc):
-        acc_fb = tree_forces(pos_new, tree, params, tree_params, active=deferred)
+        acc_fb = tree_forces(
+            pos_new, src_pos, src_mass, tree, params, tree_params,
+            active=deferred, self_idx=gid_offset + ii,
+        )
         return jnp.where(deferred[:, None], acc_fb, acc)
 
     b_small = min(n, 4096)

@@ -71,9 +71,8 @@ def make_sharded_tree_step(
             acc=sl(state_sorted.acc),
             mass=sl(state_sorted.mass),
         )
-        # swap in this chip's slice of leaf_self so self-exclusion indexes
-        # line up with the local receiver window
-        local_tree = tree._replace(leaf_self=sl(tree.leaf_self))
+        # receivers are the local slice; sources/self indices are global
+        self_idx = start + jnp.arange(n_local, dtype=jnp.int32)
 
         half = params.dt / 2.0
         vel_h = local.vel + local.acc * half
@@ -81,10 +80,14 @@ def make_sharded_tree_step(
         if tp.walk == "group":
             local_keys = (sl(keys[0]), sl(keys[1]))
             acc_new, _stats = group_tree_forces(
-                pos_new, local_tree, local_keys, params, tp
+                pos_new, state_sorted.pos, state_sorted.mass, tree,
+                local_keys, params, tp, gid_offset=start,
             )
         else:
-            acc_new = tree_forces(pos_new, local_tree, params, tp)
+            acc_new = tree_forces(
+                pos_new, state_sorted.pos, state_sorted.mass, tree, params,
+                tp, self_idx=self_idx,
+            )
         vel_new = vel_h + acc_new * half
         return pos_new, vel_new, acc_new, local.mass
 

@@ -80,20 +80,32 @@ class TreeParams:
         multi-body at depth D are treated as terminal point masses.
       node_capacity_factor: tree arena size = factor * N nodes
         (reference cap: 4N, src/sims/tree.rs:188-199).
+      leaf_bucket: stop subdividing cells holding <= leaf_bucket
+        particles. Buckets that pass the theta test are accepted as point
+        masses — exactly what the reference does with the same cell — and
+        buckets that fail it are evaluated by exact direct summation over
+        their particles (the reference descends to singletons whose
+        point-mass evaluation IS the direct sum), so accuracy is
+        reference-faithful for any bucket size while the tree gets ~K
+        times fewer leaf-region nodes. 1 reproduces singleton leaves.
       walk: "group" (fast tile-shared traversal, conservative acceptance —
         at least as accurate as per-particle) or "per_particle"
         (reference-exact acceptance pattern).
       walk_tile: particles per tile for the group walk (Morton-adjacent).
       walk_list_cap: static per-tile interaction-list capacity (multiple
-        of 256); overflow is counted, not silently ignored.
+        of 256); overflow defers to the per-particle walk.
+      walk_near_cap: static per-tile capacity of near (direct-sum) bucket
+        entries; overflow defers.
     """
 
     theta: float = 0.75
     max_depth: int = 16
     node_capacity_factor: int = 4
+    leaf_bucket: int = 16
     walk: str = "group"
     walk_tile: int = 256
     walk_list_cap: int = 8192
+    walk_near_cap: int = 512
 
 
 class ParticleState(NamedTuple):
