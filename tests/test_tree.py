@@ -226,6 +226,16 @@ def test_coincident_pair_matches_naive_semantics():
     assert acc[lone][0] @ np.array([1.0, 1.0, 1.0]) > 0
 
 
+def test_tree_diagnose():
+    params = SimParams(particle_num=256, g=1e-5)
+    sim = TreeSim(params, TreeParams(theta=0.5, max_depth=10))
+    st = sim.init_state(jax.random.key(7), uniform_init)
+    d = sim.diagnose(st)
+    assert 0 < d["num_nodes"] <= d["node_capacity"]
+    assert not d["overflowed"]
+    assert d["walk_deferred"] == 0
+
+
 def test_bound_expands_beyond_unit_cube():
     st = _state(jax.random.key(6), 64, span=3.0)
     _, bound, _ = morton_sort(st, 8)

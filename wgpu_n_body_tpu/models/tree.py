@@ -87,3 +87,30 @@ class TreeSim(Simulator):
 
     def make_step(self, donate: bool = True) -> StepFn:
         return _compiled_tree_step(self.sim_params, self.add_params, donate)
+
+    def diagnose(self, state: ParticleState) -> dict:
+        """Tree health for the current state: node count vs arena capacity
+        and how many particles the group walk deferred to the fallback.
+        Cheap enough for periodic logging; not part of the step."""
+        params, tp = self.sim_params, self.add_params
+
+        @functools.lru_cache(maxsize=None)
+        def compiled(p, t):
+            def diag(st):
+                ss, bound, keys = morton_sort(st, t.max_depth)
+                tree = build_tree(ss, keys, bound, t)
+                _, stats = group_tree_forces(
+                    ss.pos, ss.pos, ss.mass, tree, keys, p, t
+                )
+                return tree.num_nodes, stats.deferred
+
+            return jax.jit(diag)
+
+        num_nodes, deferred = compiled(params, tp)(state)
+        cap = tp.node_capacity_factor * params.particle_num + 1
+        return {
+            "num_nodes": int(num_nodes),
+            "node_capacity": cap,
+            "overflowed": int(num_nodes) > cap,
+            "walk_deferred": int(deferred),
+        }

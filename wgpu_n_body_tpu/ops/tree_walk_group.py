@@ -8,19 +8,22 @@ GPU Barnes-Hut formulation, cf. Bonsai — and the TPU analog of the
 reference's workgroup-of-64 dispatch, sims/mod.rs:7):
 
   tiles    pieces of <= walk_tile consecutive Morton-sorted particles that
-           never cross a Morton cell boundary at a coarse level L_t
-           (level chosen so cells hold ~4*walk_tile particles). The cell
-           bound keeps every tile's bounding box spatially tight — naive
-           fixed-count tiles can straddle a Morton discontinuity, get a
-           domain-sized bbox, and degenerate to visiting the whole tree.
+           never leave their density-adaptive cell (_tile_assignment), so
+           tile bounding boxes stay spatially tight at every local density
+           — naive fixed-count tiles can straddle a Morton discontinuity,
+           get a domain-sized bbox, and degenerate to visiting the whole
+           tree.
   phase A  every tile walks the DFS arena once with a *conservative*
            acceptance test against its bbox: accept node iff
-           width < theta * dmin(bbox, cog). Accepted nodes (and leaves)
-           append to the tile's interaction list. Gathers: O(T * visits).
+           width < theta * dmin(bbox, cog). theta-accepted nodes enter the
+           tile's interaction list as far (point-mass) entries; opened
+           leaf buckets enter as near (direct-sum) entries. Gathers:
+           O(T * visits).
   phase B  dense evaluation: each tile's particles against its list in
-           (G x chunk) VPU blocks with the exact per-particle force
-           formula (tree.wgsl:66-67); a particle's own leaf is masked by
-           index.
+           (G x chunk) VPU blocks — far entries with the exact point-mass
+           formula (tree.wgsl:66-67), near entries by exact direct
+           summation over their particle ranges with i==j excluded by
+           global index (naive.wgsl:30-32 semantics).
   fallback tiles that exhaust the traversal row budget (2*walk_list_cap
            visits) or spill past the static tile budget defer their
            particles to the reference-exact per-particle walk. The
