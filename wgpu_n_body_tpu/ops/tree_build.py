@@ -176,6 +176,9 @@ def build_tree(
     #     small int32 values bitcast to f32 are denormals, and TPU flushes
     #     denormals to zero in f32 selects — a zeroed skip pointer makes
     #     the stackless walk loop forever (observed as a TPU worker hang).
+    # Only cog+mass ride the payload table — width and the leaf flags are
+    # recomputed from (level, count) at emission, keeping the table at
+    # (17n, 4) f32 (half of (17n, 8); ~1.1 GB saved at N=4M).
     payloads = []
     skip_payloads = []
     count_payloads = []
@@ -184,33 +187,21 @@ def build_tree(
         r = real[lvl]
         cnt = counts[lvl]
         is_single = cnt == 1
-        no_child = (cnt <= bucket) | (lvl == depth)
         # cog: exact particle position for singletons (tree.rs:525-529),
         # mass-weighted mean otherwise.
         cog = jnp.where(
             is_single[:, None], pos, seg_sum_mp[lvl] / seg_sum_m[lvl][:, None]
         )
-        width = root_width * (0.5**lvl)
         node_skip = offset_ext[run_ends[lvl]]  # at starts, run end == i+cnt
         payloads.append(
             jnp.stack(
-                [
-                    cog[:, 0],
-                    cog[:, 1],
-                    cog[:, 2],
-                    seg_sum_m[lvl],
-                    jnp.broadcast_to(width, cnt.shape),
-                    is_single.astype(jnp.float32),
-                    no_child.astype(jnp.float32),
-                    jnp.zeros_like(seg_sum_m[lvl]),
-                ],
-                axis=1,
+                [cog[:, 0], cog[:, 1], cog[:, 2], seg_sum_m[lvl]], axis=1
             )
         )
         skip_payloads.append(node_skip)
         count_payloads.append(cnt)
         real_bits = real_bits | (r.astype(jnp.int32) << lvl)
-    payload_all = jnp.concatenate(payloads, axis=0)  # (17n, 8)
+    payload_all = jnp.concatenate(payloads, axis=0)  # (17n, 4)
     skip_all = jnp.concatenate(skip_payloads)  # (17n,) int32
     count_all = jnp.concatenate(count_payloads)  # (17n,) int32
 
@@ -231,10 +222,25 @@ def build_tree(
         below = jax.lax.population_count(mask_k & ((1 << lvl) - 1))
         hit = (((mask_k >> lvl) & 1) > 0) & (below == rank)
         lvl_of = jnp.where(hit, lvl, lvl_of)
-    # (d) gathers + sentinel fill. first particle of node k IS pon(k).
+    # (d) gathers + derived columns + sentinel fill. first particle of
+    # node k IS pon(k); width/flags derive from (lvl_of, count).
     valid = kk < num_nodes
     flat = lvl_of * n + pon_c
-    rows = jnp.take(payload_all, flat, axis=0)
+    cogm = jnp.take(payload_all, flat, axis=0)  # (cap, 4)
+    count_k = jnp.take(count_all, flat)
+    width_k = root_width * jnp.exp2(-lvl_of.astype(jnp.float32))
+    is_single_k = (count_k == 1).astype(jnp.float32)
+    no_child_k = ((count_k <= bucket) | (lvl_of == depth)).astype(jnp.float32)
+    rows = jnp.concatenate(
+        [
+            cogm,
+            width_k[:, None],
+            is_single_k[:, None],
+            no_child_k[:, None],
+            jnp.zeros((cap, 1), jnp.float32),
+        ],
+        axis=1,
+    )
     sentinel = jnp.zeros((NODE_F32_COLS,), jnp.float32)
     sentinel = sentinel.at[COG_X].set(1e30).at[NO_CHILD].set(1.0)
     rows = jnp.where(valid[:, None], rows, sentinel[None, :])
@@ -243,7 +249,7 @@ def build_tree(
     skip = jnp.concatenate([skip, jnp.full((1,), cap, jnp.int32)])
     first = jnp.where(valid, pon_c, n)
     first = jnp.concatenate([first, jnp.full((1,), n, jnp.int32)])
-    count = jnp.where(valid, jnp.take(count_all, flat), 0)
+    count = jnp.where(valid, count_k, 0)
     count = jnp.concatenate([count, jnp.zeros((1,), jnp.int32)])
 
     return TreeArrays(

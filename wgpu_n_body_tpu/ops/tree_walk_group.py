@@ -215,13 +215,16 @@ def group_tree_forces(
 
     # empty tiles start done
     cur_init = jnp.where(piece_len > 0, 0, tree.num_nodes).astype(jnp.int32)
+    chunk = min(256, r_cap)
+    assert r_cap % chunk == 0 and t_cap % t_blk == 0 and ta_blk % t_blk == 0
+    e = params.e
 
     def walk_block(b, carry):
-        lists_all, cur_all, visits_all = carry
+        acc_all, bad_all = carry
         t0 = b * ta_blk
         blo = lax.dynamic_slice(bbox_lo, (t0, 0), (ta_blk, 3))
         bhi = lax.dynamic_slice(bbox_hi, (t0, 0), (ta_blk, 3))
-        cur0 = lax.dynamic_slice(cur_all, (t0,), (ta_blk,))
+        cur0 = lax.dynamic_slice(cur_init, (t0,), (ta_blk,))
 
         def cond(carry):
             it, cur, _, _ = carry
@@ -244,7 +247,7 @@ def group_tree_forces(
                 take = theta_ok | (row[:, NO_CHILD] > 0.0)
                 emit = take & ~done
                 # far entries: node index; near (opened bucket) entries:
-                # -(node+1), direct-summed in phase B; sentinel: cap
+                # -(node+1), direct-summed in the eval pass; sentinel: cap
                 entry = jnp.where(theta_ok, cur, -(cur + 1))
                 rows.append(jnp.where(emit, entry, cap))
                 visits = visits + (~done).astype(jnp.int32)
@@ -260,128 +263,141 @@ def group_tree_forces(
         _, cur_b, lists_b, visits_b = lax.while_loop(
             cond, body, (jnp.int32(0), cur0, lists_b0, visits_b0)
         )
-        lists_all = lax.dynamic_update_slice(lists_all, lists_b, (0, t0))
-        cur_all = lax.dynamic_update_slice(cur_all, cur_b, (t0,))
-        visits_all = lax.dynamic_update_slice(visits_all, visits_b, (t0,))
-        return lists_all, cur_all, visits_all
+        bad_all = lax.dynamic_update_slice(
+            bad_all, cur_b < tree.num_nodes, (t0,)
+        )
 
-    lists, cur_end, visits = lax.fori_loop(
+        # ---- fused evaluation of this block's lists ----
+        # The block's lists never leave this loop iteration — no global
+        # (r_cap, t_cap) array exists at any point (it OOM'd HBM at N=4M).
+        # Within the block, tiles are sorted by descending list length so
+        # each t_blk sub-block chunks only to its own max (visit skew is
+        # ~10x; unsorted sub-blocks re-pay the local max everywhere).
+        ord_b = jnp.argsort(-visits_b).astype(jnp.int32)
+        lists_bs = jnp.take(lists_b, ord_b, axis=1)
+        visits_bs = jnp.take(visits_b, ord_b)
+        tiles_bs = jnp.take(
+            lax.dynamic_slice(tiles, (t0, 0, 0), (ta_blk, g, 3)), ord_b, axis=0
+        )
+        gid_bs = jnp.take(
+            lax.dynamic_slice(slot_gid, (t0, 0), (ta_blk, g)), ord_b, axis=0
+        )
+
+        def sub_block(sb, acc_sorted_blk):
+            s0 = sb * t_blk
+            blk_tiles = lax.dynamic_slice(tiles_bs, (s0, 0, 0), (t_blk, g, 3))
+            blk_gid = lax.dynamic_slice(gid_bs, (s0, 0), (t_blk, g))
+            blk_max = visits_bs[s0]  # sorted desc: first tile has the max
+            px = blk_tiles[:, :, 0:1]
+            py = blk_tiles[:, :, 1:2]
+            pz = blk_tiles[:, :, 2:3]
+
+            def eval_cond(carry):
+                c0, _ = carry
+                return c0 < blk_max
+
+            def eval_body(carry):
+                c0, acc = carry
+                idx_c = lax.dynamic_slice(
+                    lists_bs, (c0, s0), (chunk, t_blk)
+                ).T  # (TB, C)
+                is_far = (idx_c >= 0) & (idx_c < cap)
+                is_near = idx_c < 0
+                node_ix = jnp.where(
+                    is_near, -idx_c - 1, jnp.where(is_far, idx_c, cap)
+                )
+                rows = jnp.take(
+                    tree.nodes_f32, node_ix.reshape(-1), axis=0
+                ).reshape(t_blk, chunk, 8)
+                # far entries: point-mass evaluation (tree.wgsl:66-67)
+                dx = rows[:, None, :, 0] - px  # (TB, G, C)
+                dy = rows[:, None, :, 1] - py
+                dz = rows[:, None, :, 2] - pz
+                r2 = dx * dx + dy * dy + dz * dz
+                far_m = is_far[:, None, :]
+                r2s = jnp.where(far_m, r2, 1.0)
+                inv_r = lax.rsqrt(r2s)
+                r = r2s * inv_r
+                w = rows[:, None, :, MASS] * gdt * inv_r / (r2s * r + e)
+                w = jnp.where(far_m, w, 0.0)
+                ax = jnp.sum(w * dx, axis=2)
+                ay = jnp.sum(w * dy, axis=2)
+                az = jnp.sum(w * dz, axis=2)
+
+                # near entries: exact direct sum over the bucket's
+                # particles, self excluded by global index (naive.wgsl:
+                # 30-32 semantics). Gated per chunk: most chunks carry no
+                # near entries and the direct sum costs `bucket` sub-passes
+                # of the chunk shape.
+                def near_sum(args):
+                    ax, ay, az = args
+                    nfirst = jnp.take(
+                        tree.first, node_ix.reshape(-1)
+                    ).reshape(t_blk, chunk)
+                    ncnt = jnp.take(
+                        tree.count, node_ix.reshape(-1)
+                    ).reshape(t_blk, chunk)
+                    for k in range(bucket):
+                        j = jnp.where(
+                            is_near & (k < ncnt), nfirst + k, n_src
+                        )
+                        srow = jnp.take(
+                            src_tbl, j.reshape(-1), axis=0
+                        ).reshape(t_blk, chunk, 4)
+                        sdx = srow[:, None, :, 0] - px
+                        sdy = srow[:, None, :, 1] - py
+                        sdz = srow[:, None, :, 2] - pz
+                        sr2 = sdx * sdx + sdy * sdy + sdz * sdz
+                        ok = (j[:, None, :] != blk_gid[:, :, None]) & (
+                            j[:, None, :] < n_src
+                        )
+                        sr2s = jnp.where(ok, sr2, 1.0)
+                        sinv = lax.rsqrt(sr2s)
+                        sr = sr2s * sinv
+                        sw = srow[:, None, :, 3] * gdt * sinv / (
+                            sr2s * sr + e
+                        )
+                        sw = jnp.where(ok, sw, 0.0)
+                        ax = ax + jnp.sum(sw * sdx, axis=2)
+                        ay = ay + jnp.sum(sw * sdy, axis=2)
+                        az = az + jnp.sum(sw * sdz, axis=2)
+                    return ax, ay, az
+
+                ax, ay, az = lax.cond(
+                    jnp.any(is_near), near_sum, lambda a: a, (ax, ay, az)
+                )
+                return c0 + chunk, acc + jnp.stack([ax, ay, az], axis=2)
+
+            acc_blk0 = jnp.zeros((t_blk, g, 3), jnp.float32)
+            _, acc_blk = lax.while_loop(
+                eval_cond, eval_body, (jnp.int32(0), acc_blk0)
+            )
+            return lax.dynamic_update_slice(
+                acc_sorted_blk, acc_blk, (s0, 0, 0)
+            )
+
+        acc_sorted_blk = lax.fori_loop(
+            0,
+            ta_blk // t_blk,
+            sub_block,
+            jnp.zeros((ta_blk, g, 3), jnp.float32),
+        )
+        # unsort within the block and commit
+        acc_unsorted = jnp.take(
+            acc_sorted_blk, jnp.argsort(ord_b).astype(jnp.int32), axis=0
+        )
+        acc_all = lax.dynamic_update_slice(acc_all, acc_unsorted, (t0, 0, 0))
+        return acc_all, bad_all
+
+    acc_tiles, tile_bad = lax.fori_loop(
         0,
         t_cap // ta_blk,
         walk_block,
         (
-            jnp.full((r_cap, t_cap), cap, jnp.int32),
-            cur_init,
-            jnp.zeros((t_cap,), jnp.int32),
+            jnp.zeros((t_cap, g, 3), jnp.float32),
+            jnp.zeros((t_cap,), bool),
         ),
     )
-    tile_bad = cur_end < tree.num_nodes  # timed out within the row budget
-
-    # ---- phase B: dense tile x list evaluation ----
-    # Tiles are processed in blocks SORTED BY DESCENDING list length, each
-    # block chunking only up to its own longest list. With skewed scenes
-    # (galaxy disc: max visits ~6x the mean) a global-max chunk loop wastes
-    # most phase-B lanes on sentinel entries; block-local bounds make the
-    # work ~ sum(len) instead of T*max(len).
-    chunk = min(256, r_cap)
-    assert r_cap % chunk == 0 and t_cap % t_blk == 0
-    n_blks = t_cap // t_blk
-    e = params.e
-
-    order_t = jnp.argsort(-visits)  # heavy tiles first
-    lists_s = jnp.take(lists, order_t, axis=1)  # (R, T) column reorder
-    tiles_s = jnp.take(tiles, order_t, axis=0)
-    gid_s = jnp.take(slot_gid, order_t, axis=0)
-    visits_s = jnp.take(visits, order_t)
-
-    def block_body(b, acc_sorted):
-        t0 = b * t_blk
-        blk_lists = lax.dynamic_slice(lists_s, (0, t0), (r_cap, t_blk))
-        blk_tiles = lax.dynamic_slice(tiles_s, (t0, 0, 0), (t_blk, g, 3))
-        blk_gid = lax.dynamic_slice(gid_s, (t0, 0), (t_blk, g))
-        blk_max = visits_s[t0]  # first tile of the block has its max length
-        px = blk_tiles[:, :, 0:1]
-        py = blk_tiles[:, :, 1:2]
-        pz = blk_tiles[:, :, 2:3]
-
-        def eval_cond(carry):
-            c0, _ = carry
-            return c0 < blk_max
-
-        def eval_body(carry):
-            c0, acc = carry
-            idx_c = lax.dynamic_slice(
-                blk_lists, (c0, jnp.int32(0)), (chunk, t_blk)
-            ).T  # (TB, C)
-            is_far = (idx_c >= 0) & (idx_c < cap)
-            is_near = idx_c < 0
-            node_ix = jnp.where(is_near, -idx_c - 1, jnp.where(is_far, idx_c, cap))
-            rows = jnp.take(
-                tree.nodes_f32, node_ix.reshape(-1), axis=0
-            ).reshape(t_blk, chunk, 8)
-            # far entries: point-mass evaluation (tree.wgsl:66-67)
-            dx = rows[:, None, :, 0] - px  # (TB, G, C)
-            dy = rows[:, None, :, 1] - py
-            dz = rows[:, None, :, 2] - pz
-            r2 = dx * dx + dy * dy + dz * dz
-            far_m = is_far[:, None, :]
-            r2s = jnp.where(far_m, r2, 1.0)
-            inv_r = lax.rsqrt(r2s)
-            r = r2s * inv_r
-            w = rows[:, None, :, MASS] * gdt * inv_r / (r2s * r + e)
-            w = jnp.where(far_m, w, 0.0)
-            ax = jnp.sum(w * dx, axis=2)
-            ay = jnp.sum(w * dy, axis=2)
-            az = jnp.sum(w * dz, axis=2)
-            # near entries: exact direct sum over the bucket's particles,
-            # self excluded by global index (naive.wgsl:30-32 semantics).
-            # Gated per chunk: most chunks carry no near entries, and the
-            # direct sum costs `bucket` sub-passes of the chunk shape.
-            def near_sum(args):
-                ax, ay, az = args
-                nfirst = jnp.take(tree.first, node_ix.reshape(-1)).reshape(
-                    t_blk, chunk
-                )
-                ncnt = jnp.take(tree.count, node_ix.reshape(-1)).reshape(
-                    t_blk, chunk
-                )
-                for k in range(bucket):
-                    j = jnp.where(is_near & (k < ncnt), nfirst + k, n_src)
-                    srow = jnp.take(src_tbl, j.reshape(-1), axis=0).reshape(
-                        t_blk, chunk, 4
-                    )
-                    sdx = srow[:, None, :, 0] - px
-                    sdy = srow[:, None, :, 1] - py
-                    sdz = srow[:, None, :, 2] - pz
-                    sr2 = sdx * sdx + sdy * sdy + sdz * sdz
-                    ok = (j[:, None, :] != blk_gid[:, :, None]) & (
-                        j[:, None, :] < n_src
-                    )
-                    sr2s = jnp.where(ok, sr2, 1.0)
-                    sinv = lax.rsqrt(sr2s)
-                    sr = sr2s * sinv
-                    sw = srow[:, None, :, 3] * gdt * sinv / (sr2s * sr + e)
-                    sw = jnp.where(ok, sw, 0.0)
-                    ax = ax + jnp.sum(sw * sdx, axis=2)
-                    ay = ay + jnp.sum(sw * sdy, axis=2)
-                    az = az + jnp.sum(sw * sdz, axis=2)
-                return ax, ay, az
-
-            ax, ay, az = lax.cond(
-                jnp.any(is_near), near_sum, lambda a: a, (ax, ay, az)
-            )
-            return c0 + chunk, acc + jnp.stack([ax, ay, az], axis=2)
-
-        acc_blk0 = jnp.zeros((t_blk, g, 3), jnp.float32)
-        _, acc_blk = lax.while_loop(eval_cond, eval_body, (jnp.int32(0), acc_blk0))
-        return lax.dynamic_update_slice(acc_sorted, acc_blk, (t0, 0, 0))
-
-    acc_sorted = lax.fori_loop(
-        0, n_blks, block_body, jnp.zeros((t_cap, g, 3), jnp.float32)
-    )
-    # unsort: tile t sits at sorted position inv_order[t]
-    inv_order = jnp.argsort(order_t)
-    acc_tiles = jnp.take(acc_sorted, inv_order, axis=0)
 
     # map back: particle i -> (tile_id[i], slot[i])
     acc = acc_tiles[tile_id, jnp.minimum(slot, g - 1)]  # (N, 3)
