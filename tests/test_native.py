@@ -94,6 +94,7 @@ def test_host_arena_forces_match_device_arena_forces():
         count=jnp.asarray(h.count),
         num_nodes=jnp.asarray(m, jnp.int32),
         root_width=jnp.asarray(h.root_width),
+        overflowed=jnp.asarray(False),
     )
     sorted_pos = jnp.asarray(pos[h.order])
     sorted_mass = jnp.asarray(mass[h.order])

@@ -240,3 +240,129 @@ def test_bound_expands_beyond_unit_cube():
     st = _state(jax.random.key(6), 64, span=3.0)
     _, bound, _ = morton_sort(st, 8)
     assert float(bound) == float(jnp.max(jnp.abs(st.pos)))
+
+
+def _cluster_state(n_cluster, n_far, seed=8):
+    """n_cluster particles inside one tiny cell + n_far spread out."""
+    key = jax.random.key(seed)
+    kc, kf = jax.random.split(key)
+    cluster = 0.6 + jax.random.uniform(kc, (n_cluster, 3), jnp.float32) * 1e-4
+    far = jax.random.uniform(kf, (n_far, 3), jnp.float32, -1.0, 0.4)
+    pos = jnp.concatenate([cluster, far])
+    n = n_cluster + n_far
+    return ParticleState(
+        pos=pos,
+        vel=jnp.zeros((n, 3), jnp.float32),
+        acc=jnp.zeros((n, 3), jnp.float32),
+        mass=jnp.ones((n,), jnp.float32),
+    )
+
+
+def test_overfull_terminal_cell_exact_per_particle():
+    # A max-depth cell holding MORE than leaf_bucket particles (no_child
+    # forced at lvl == depth) must still be summed exactly — the chunked
+    # near loop, not a truncated range(bucket) pass (ADVICE r1 #2).
+    n_cluster, n_far = 20, 44
+    n = n_cluster + n_far
+    params = SimParams(particle_num=n, g=1e-3)
+    tp = TreeParams(theta=0.0, max_depth=3, leaf_bucket=4)
+    st = _cluster_state(n_cluster, n_far)
+    sorted_st, bound, keys = morton_sort(st, tp.max_depth)
+    tree = build_tree(sorted_st, keys, bound, tp)
+    # the cluster really is overfull at max depth
+    nodes = np.asarray(tree.nodes_f32)
+    m = int(tree.num_nodes)
+    assert (nodes[:m, 6] == 2.0).any()  # NO_CHILD == 2 marks overfull
+    got = tree_forces(
+        sorted_st.pos, sorted_st.pos, sorted_st.mass, tree, params, tp
+    )
+    want = naive_forces_dense(
+        sorted_st.pos, sorted_st.pos, sorted_st.mass, params
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-3, atol=1e-8
+    )
+
+
+def test_overfull_terminal_cell_exact_group_walk():
+    # The group walk defers tiles that open an overfull terminal cell to
+    # the (exact) per-particle fallback.
+    from wgpu_n_body_tpu.ops.tree_walk_group import group_tree_forces
+
+    n_cluster, n_far = 20, 44
+    n = n_cluster + n_far
+    params = SimParams(particle_num=n, g=1e-3)
+    tp = TreeParams(
+        theta=0.0, max_depth=3, leaf_bucket=4, walk_tile=16,
+        walk_list_cap=512,
+    )
+    st = _cluster_state(n_cluster, n_far)
+    sorted_st, bound, keys = morton_sort(st, tp.max_depth)
+    tree = build_tree(sorted_st, keys, bound, tp)
+    got, stats = group_tree_forces(
+        sorted_st.pos, sorted_st.pos, sorted_st.mass, tree, keys, params, tp
+    )
+    assert int(stats.deferred) > 0  # the cluster tiles took the fallback
+    want = naive_forces_dense(
+        sorted_st.pos, sorted_st.pos, sorted_st.mass, params
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-3, atol=1e-8
+    )
+
+
+def _tight_pairs_state(n_pairs, seed=9):
+    """n_pairs nearly-coincident pairs: worst case for node count (each
+    pair drags a full chain of single-child nodes to max depth)."""
+    key = jax.random.key(seed)
+    base = jax.random.uniform(key, (n_pairs, 3), jnp.float32, -1.0, 1.0)
+    pos = jnp.concatenate([base, base + 1e-6])
+    n = 2 * n_pairs
+    return ParticleState(
+        pos=pos,
+        vel=jnp.zeros((n, 3), jnp.float32),
+        acc=jnp.zeros((n, 3), jnp.float32),
+        mass=jnp.ones((n,), jnp.float32),
+    )
+
+
+def test_arena_overflow_flags_and_walk_terminates():
+    # ADVICE r1 #1 repro: 64 tight-pair particles with leaf_bucket=1 build
+    # ~8x more nodes than a factor-1 arena holds. Before the clamp the
+    # stackless walk looped forever (cur stuck at the sentinel row); now
+    # num_nodes is clamped, the walk returns, and the tree is flagged.
+    n = 64
+    params = SimParams(particle_num=n, g=1e-3)
+    tp = TreeParams(theta=0.5, max_depth=16, leaf_bucket=1,
+                    node_capacity_factor=1)
+    st = _tight_pairs_state(n // 2)
+    sorted_st, bound, keys = morton_sort(st, tp.max_depth)
+    tree = build_tree(sorted_st, keys, bound, tp)
+    cap = tree.nodes_f32.shape[0] - 1
+    assert bool(tree.overflowed)
+    assert int(tree.num_nodes) == cap
+    # the walk terminates (this line hung before the clamp)
+    acc = tree_forces(
+        sorted_st.pos, sorted_st.pos, sorted_st.mass, tree, params, tp
+    )
+    assert acc.shape == (n, 3)
+
+
+def test_overflow_surfaces_in_runner():
+    from wgpu_n_body_tpu.models.tree import TreeSim
+    from wgpu_n_body_tpu.runners.headless import OfflineHeadless
+
+    n = 64
+    params = SimParams(particle_num=n, g=1e-3)
+    tp = TreeParams(theta=0.5, max_depth=16, leaf_bucket=1,
+                    node_capacity_factor=1)
+    sim = TreeSim(params, tp)
+    st = _tight_pairs_state(n // 2)
+    with pytest.raises(RuntimeError, match="overflow"):
+        sim.check_overflow(st)
+    runner = OfflineHeadless(sim, lambda key, p: st, key=0)
+    with pytest.raises(RuntimeError, match="overflow"):
+        runner.run(steps=2)
+    # a healthy scene passes the same check silently
+    ok_sim = TreeSim(params, TreeParams(theta=0.5, max_depth=16))
+    ok_sim.check_overflow(ok_sim.init_state(jax.random.key(0), uniform_init))

@@ -73,6 +73,31 @@ def _compiled_tree_step(params: SimParams, tp: TreeParams, donate: bool) -> Step
     return jax.jit(_tree_step_fn(params, tp), donate_argnums=(0,) if donate else ())
 
 
+@functools.lru_cache(maxsize=None)
+def _compiled_diagnose(params: SimParams, tp: TreeParams):
+    """Cached at module level keyed on params so repeated diagnose()/
+    check_overflow() calls reuse one compilation."""
+
+    def diag(st):
+        ss, bound, keys = morton_sort(st, tp.max_depth)
+        tree = build_tree(ss, keys, bound, tp)
+        _, stats = group_tree_forces(
+            ss.pos, ss.pos, ss.mass, tree, keys, params, tp
+        )
+        return tree.num_nodes, tree.overflowed, stats.deferred
+
+    return jax.jit(diag)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_overflow_check(params: SimParams, tp: TreeParams):
+    def check(st):
+        ss, bound, keys = morton_sort(st, tp.max_depth)
+        return build_tree(ss, keys, bound, tp).overflowed
+
+    return jax.jit(check)
+
+
 class TreeSim(Simulator):
     """Barnes-Hut O(N log N) backend, fully device-resident."""
 
@@ -93,24 +118,27 @@ class TreeSim(Simulator):
         and how many particles the group walk deferred to the fallback.
         Cheap enough for periodic logging; not part of the step."""
         params, tp = self.sim_params, self.add_params
-
-        @functools.lru_cache(maxsize=None)
-        def compiled(p, t):
-            def diag(st):
-                ss, bound, keys = morton_sort(st, t.max_depth)
-                tree = build_tree(ss, keys, bound, t)
-                _, stats = group_tree_forces(
-                    ss.pos, ss.pos, ss.mass, tree, keys, p, t
-                )
-                return tree.num_nodes, stats.deferred
-
-            return jax.jit(diag)
-
-        num_nodes, deferred = compiled(params, tp)(state)
+        num_nodes, overflowed, deferred = _compiled_diagnose(params, tp)(state)
         cap = tp.node_capacity_factor * params.particle_num + 1
         return {
             "num_nodes": int(num_nodes),
             "node_capacity": cap,
-            "overflowed": int(num_nodes) > cap,
+            "overflowed": bool(overflowed),
             "walk_deferred": int(deferred),
         }
+
+    def check_overflow(self, state: ParticleState) -> None:
+        """Raise if the arena overflows for this state (forces would be
+        silently truncated). One sort+build, no walk — cheap enough for
+        the runner to call once at startup and periodically after.
+        Reference cap semantics: 4N octants (tree.rs:188-199)."""
+        if bool(_compiled_overflow_check(self.sim_params, self.add_params)(state)):
+            cap = (
+                self.add_params.node_capacity_factor
+                * self.sim_params.particle_num
+                + 1
+            )
+            raise RuntimeError(
+                f"octree arena overflow (cap {cap} nodes): forces are "
+                "truncated; raise node_capacity_factor or leaf_bucket"
+            )

@@ -90,6 +90,7 @@ class TreeSimHost(Simulator):
                 count=jnp.asarray(count),
                 num_nodes=jnp.asarray(m, jnp.int32),
                 root_width=jnp.asarray(host.root_width, jnp.float32),
+                overflowed=jnp.asarray(False),
             )
             order = host.order
             sorted_state = ParticleState(

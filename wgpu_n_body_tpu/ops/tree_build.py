@@ -27,8 +27,10 @@ Equivalences, proven by construction:
 
 Arena is statically sized cap = node_capacity_factor*N + 1 (reference tree
 buffer: 4N octants, tree.rs:188-199); the last row is an inert sentinel for
-finished walk lanes. Overflow (more real nodes than cap) is reported in
-``TreeArrays.num_nodes`` for a host-side check.
+finished walk lanes. Overflow (more real nodes than cap) clamps
+``num_nodes`` to the arena size — walks stay bounded and terminate, forces
+lose the truncated tail — and raises the ``overflowed`` flag so the step
+driver can fail loudly (TreeSim.check_overflow / OfflineHeadless).
 """
 
 from __future__ import annotations
@@ -57,9 +59,18 @@ class TreeArrays(NamedTuple):
                 contiguous particle range for direct (exact) evaluation of
                 leaf buckets.
     count:      (cap+1,) int32 — particles in the node's subtree.
-    num_nodes:  () int32 — real node count (walk termination bound; if this
-                exceeds cap the tree overflowed and must be rebuilt deeper).
+    num_nodes:  () int32 — real node count CLAMPED to cap (the walks'
+                termination bound is therefore always <= arena size).
     root_width: () float32 — 2 * bound (tree.rs:450).
+    overflowed: () bool — the unclamped node count exceeded cap; forces
+                from this tree are truncated and the tree must be rebuilt
+                with a larger node_capacity_factor (or bigger leaf_bucket).
+
+    ``NO_CHILD`` column is 3-state: 0 = internal, 1 = terminal cell whose
+    count fits leaf_bucket (direct-summable), 2 = terminal cell at
+    max_depth holding MORE than leaf_bucket particles (exact evaluation
+    needs chunked direct summation — the group walk defers such tiles to
+    the per-particle walk, which handles any count).
     """
 
     nodes_f32: jax.Array
@@ -68,6 +79,7 @@ class TreeArrays(NamedTuple):
     count: jax.Array
     num_nodes: jax.Array
     root_width: jax.Array
+    overflowed: jax.Array
 
 
 def morton_sort(state: ParticleState, depth: int):
@@ -163,8 +175,13 @@ def build_tree(
     # DFS enumeration by (start particle, level).
     c_per_particle = sum(r.astype(jnp.int32) for r in real)
     offset = jnp.cumsum(c_per_particle) - c_per_particle  # exclusive scan
-    num_nodes = offset[-1] + c_per_particle[-1]
-    offset_ext = jnp.concatenate([offset, num_nodes[None]])
+    num_nodes_raw = offset[-1] + c_per_particle[-1]
+    # Clamp to the arena: walks bound their loops by num_nodes, so an
+    # unclamped overflow would leave lanes pointing past the sentinel and
+    # (before this clamp) loop forever — the worst TPU failure mode (a hung
+    # while_loop crashes the worker). Overflow truncates + flags instead.
+    num_nodes = jnp.minimum(num_nodes_raw, cap)
+    offset_ext = jnp.concatenate([offset, num_nodes_raw[None]])
 
     # Node emission is GATHER-based (inverse mapping node -> (level,
     # particle)) rather than 17 scatters of (n, 8) payloads — random
@@ -230,7 +247,13 @@ def build_tree(
     count_k = jnp.take(count_all, flat)
     width_k = root_width * jnp.exp2(-lvl_of.astype(jnp.float32))
     is_single_k = (count_k == 1).astype(jnp.float32)
-    no_child_k = ((count_k <= bucket) | (lvl_of == depth)).astype(jnp.float32)
+    # 3-state terminal flag (see TreeArrays docstring): 2 marks max-depth
+    # cells overfull relative to leaf_bucket, which need chunked direct
+    # summation for exact forces.
+    terminal_k = (count_k <= bucket) | (lvl_of == depth)
+    no_child_k = jnp.where(
+        terminal_k, jnp.where(count_k > bucket, 2.0, 1.0), 0.0
+    ).astype(jnp.float32)
     rows = jnp.concatenate(
         [
             cogm,
@@ -259,4 +282,5 @@ def build_tree(
         count=count,
         num_nodes=num_nodes,
         root_width=jnp.asarray(root_width, jnp.float32),
+        overflowed=num_nodes_raw > cap,
     )

@@ -10,9 +10,14 @@ layout from ops/tree_build.py, which makes the traversal *stackless*:
         accept/skip  -> cur = skip[cur]   (jump over the subtree)
         open         -> cur = cur + 1     (first child is DFS-adjacent)
 
-``cur`` strictly increases, so the walk terminates in <= num_nodes steps;
-all particles advance in lockstep (one `lax.while_loop`), each iteration
-being one gathered node row + a few VPU ops per lane.
+``cur`` never decreases and advances every iteration except while a lane
+direct-sums an overfull terminal cell (a max-depth cell holding more than
+leaf_bucket particles), which it consumes in bucket-sized chunks over
+ceil(count/bucket) iterations before jumping to skip — so the walk
+terminates in <= num_nodes + N/bucket steps. ``num_nodes`` is clamped to
+the arena capacity by the build (overflow truncates + flags, never
+hangs). All particles advance in lockstep (one `lax.while_loop`), each
+iteration being one gathered node row + a few VPU ops per lane.
 
 Semantics per node, matched to tree.wgsl with one deliberate fix:
 
@@ -93,11 +98,11 @@ def tree_forces(
     )
 
     def cond(carry):
-        cur, _ = carry
+        cur, _, _ = carry
         return jnp.any(cur < tree.num_nodes)
 
     def body(carry):
-        cur, acc = carry
+        cur, koff, acc = carry
         done = cur >= tree.num_nodes
         row = jnp.take(tree.nodes_f32, cur, axis=0)  # (B, 8)
         nskip = jnp.take(tree.skip, cur)
@@ -115,12 +120,15 @@ def tree_forces(
         ax = w * dx
         ay = w * dy
         az = w * dz
-        # near: exact direct sum over the bucket's particle range, self
-        # excluded by index (coincident distinct pairs NaN like upstream)
+        # near: exact direct sum over the cell's particle range, self
+        # excluded by index (coincident distinct pairs NaN like upstream).
+        # Summation is chunked by koff: overfull terminal cells (count >
+        # bucket, possible only at max_depth) take ceil(count/bucket)
+        # iterations, the lane staying on the node until exhausted.
         first = jnp.take(tree.first, cur)
         cnt = jnp.take(tree.count, cur)
         for k in range(bucket):
-            j = jnp.where(near & (k < cnt), first + k, n)
+            j = jnp.where(near & (koff + k < cnt), first + koff + k, n)
             srow = jnp.take(src, j, axis=0)  # (B, 4)
             sdx = srow[:, 0] - px
             sdy = srow[:, 1] - py
@@ -135,14 +143,17 @@ def tree_forces(
             ay = ay + sw * sdy
             az = az + sw * sdz
         acc = acc + jnp.stack([ax, ay, az], axis=1)
-        nxt = jnp.where(far | near, nskip, cur + 1)
+        more = near & (koff + bucket < cnt)  # overfull cell not exhausted
+        koff = jnp.where(more, koff + bucket, 0)
+        nxt = jnp.where(more, cur, jnp.where(far | near, nskip, cur + 1))
         cur = jnp.where(done, cur, nxt)
-        return cur, acc
+        return cur, koff, acc
 
     if active is None:
         cur0 = jnp.zeros((b,), jnp.int32)
     else:
         cur0 = jnp.where(active, 0, tree.num_nodes).astype(jnp.int32)
+    koff0 = jnp.zeros((b,), jnp.int32)
     acc0 = jnp.zeros((b, 3), jnp.float32)
-    _, acc = lax.while_loop(cond, body, (cur0, acc0))
+    _, _, acc = lax.while_loop(cond, body, (cur0, koff0, acc0))
     return acc

@@ -203,7 +203,9 @@ def group_tree_forces(
     # TPU flushes them to zero), and tiles traverse in Morton-contiguous
     # blocks of ta_blk, each bounded by its own slowest tile.
     unroll = 16
-    r_cap = -(-(2 * l_cap) // unroll) * unroll  # rows, multiple of unroll
+    # rows: multiple of 256 so the eval chunk (min(256, r_cap)) always
+    # divides it and unroll (16) always divides the chunk
+    r_cap = -(-(2 * l_cap) // 256) * 256
     iter_cap = r_cap // unroll
     tbl_i32 = jnp.concatenate(
         [
@@ -216,7 +218,12 @@ def group_tree_forces(
     # empty tiles start done
     cur_init = jnp.where(piece_len > 0, 0, tree.num_nodes).astype(jnp.int32)
     chunk = min(256, r_cap)
-    assert r_cap % chunk == 0 and t_cap % t_blk == 0 and ta_blk % t_blk == 0
+    if r_cap % chunk or t_cap % t_blk or ta_blk % t_blk:
+        raise ValueError(
+            f"internal tiling mismatch: walk_list_cap={l_cap} -> r_cap="
+            f"{r_cap}, chunk={chunk}, t_cap={t_cap}, t_blk={t_blk}, "
+            f"ta_blk={ta_blk}"
+        )
     e = params.e
 
     def walk_block(b, carry):
@@ -227,11 +234,11 @@ def group_tree_forces(
         cur0 = lax.dynamic_slice(cur_init, (t0,), (ta_blk,))
 
         def cond(carry):
-            it, cur, _, _ = carry
+            it, cur, _, _, _ = carry
             return (it < iter_cap) & jnp.any(cur < tree.num_nodes)
 
         def body(carry):
-            it, cur, lists, visits = carry
+            it, cur, hit, lists, visits = carry
             rows = []
             for _ in range(unroll):
                 done = cur >= tree.num_nodes
@@ -246,6 +253,11 @@ def group_tree_forces(
                 theta_ok = row[:, WIDTH] < theta * dmin
                 take = theta_ok | (row[:, NO_CHILD] > 0.0)
                 emit = take & ~done
+                # Opened OVERFULL terminal cells (NO_CHILD == 2: max-depth
+                # cell with count > leaf_bucket) exceed the eval pass's
+                # static bucket unroll — defer the whole tile to the
+                # per-particle walk, which direct-sums any count exactly.
+                hit = hit | ((row[:, NO_CHILD] > 1.5) & ~theta_ok & ~done)
                 # far entries: node index; near (opened bucket) entries:
                 # -(node+1), direct-summed in the eval pass; sentinel: cap
                 entry = jnp.where(theta_ok, cur, -(cur + 1))
@@ -256,15 +268,16 @@ def group_tree_forces(
             lists = lax.dynamic_update_slice(
                 lists, jnp.stack(rows, axis=0), (it * unroll, jnp.int32(0))
             )
-            return it + 1, cur, lists, visits
+            return it + 1, cur, hit, lists, visits
 
         lists_b0 = jnp.full((r_cap, ta_blk), cap, jnp.int32)
         visits_b0 = jnp.zeros((ta_blk,), jnp.int32)
-        _, cur_b, lists_b, visits_b = lax.while_loop(
-            cond, body, (jnp.int32(0), cur0, lists_b0, visits_b0)
+        hit_b0 = jnp.zeros((ta_blk,), bool)
+        _, cur_b, hit_b, lists_b, visits_b = lax.while_loop(
+            cond, body, (jnp.int32(0), cur0, hit_b0, lists_b0, visits_b0)
         )
         bad_all = lax.dynamic_update_slice(
-            bad_all, cur_b < tree.num_nodes, (t0,)
+            bad_all, (cur_b < tree.num_nodes) | hit_b, (t0,)
         )
 
         # ---- fused evaluation of this block's lists ----

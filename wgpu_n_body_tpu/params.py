@@ -92,10 +92,9 @@ class TreeParams:
         at least as accurate as per-particle) or "per_particle"
         (reference-exact acceptance pattern).
       walk_tile: particles per tile for the group walk (Morton-adjacent).
-      walk_list_cap: static per-tile interaction-list capacity (multiple
-        of 256); overflow defers to the per-particle walk.
-      walk_near_cap: static per-tile capacity of near (direct-sum) bucket
-        entries; overflow defers.
+      walk_list_cap: static per-tile interaction-list capacity (rounded up
+        to a multiple of 256 internally); tiles that exhaust it defer to
+        the per-particle walk.
     """
 
     theta: float = 0.75
@@ -105,7 +104,6 @@ class TreeParams:
     walk: str = "group"
     walk_tile: int = 256
     walk_list_cap: int = 8192
-    walk_near_cap: int = 512
 
 
 class ParticleState(NamedTuple):

@@ -84,9 +84,16 @@ class OfflineHeadless:
         checkpoint_path: str | None = None,
         checkpoint_every: int = 0,
         energy_every: int = 0,
+        overflow_check_every: int = 0,
         log_fn: Callable[[str], None] = print,
     ) -> ParticleState:
-        """Drive ``steps`` steps with optional periodic side channels."""
+        """Drive ``steps`` steps with optional periodic side channels.
+
+        Backends exposing ``check_overflow`` (TreeSim: octree arena
+        overflow means silently truncated forces) are checked once after
+        the first batch, and every ``overflow_check_every`` steps if set;
+        overflow raises RuntimeError instead of corrupting the run.
+        """
         if trajectory is not None and trajectory_every <= 0:
             trajectory_every = max(chunk, 1)
         if chunk > 1:
@@ -111,7 +118,16 @@ class OfflineHeadless:
                         self.state = self._step(self.state)
                 box["sync"] = self.state
             self.step_num += k
+            first_batch = done == 0
             done += k
+            if hasattr(self.sim, "check_overflow") and (
+                first_batch
+                or (
+                    overflow_check_every
+                    and self.step_num % overflow_check_every < k
+                )
+            ):
+                self.sim.check_overflow(self.state)
             if log_every and (done % log_every < k):
                 us = self.timer.times_s[-1] / k * 1e6
                 log_fn(f"step {self.step_num}: {us:.1f} us/step")
