@@ -23,11 +23,23 @@ def _build_sim(args):
     params = SimParams(particle_num=args.n, g=args.g, e=args.e, dt=args.dt)
     if args.sim == "naive":
         return NaiveSim(params, NaiveParams(use_pallas=not args.no_pallas))
+    if args.sim == "tree-host":
+        # reference-architecture hybrid: host C++ build + device walk
+        from wgpu_n_body_tpu.models.tree_host import TreeSimHost
+
+        return TreeSimHost(
+            params, TreeParams(theta=args.theta, leaf_bucket=1)
+        )
     return TreeSim(params, TreeParams(theta=args.theta))
 
 
-def _add_sim_flags(p, n, g, e, dt, sim):
-    p.add_argument("--sim", choices=["naive", "tree"], default=sim)
+def _add_sim_flags(p, n, g, e, dt, sim, sim_list=False):
+    if sim_list:  # bench: comma-separated list of backends
+        p.add_argument("--sim", default=sim)
+    else:
+        p.add_argument(
+            "--sim", choices=["naive", "tree", "tree-host"], default=sim
+        )
     p.add_argument("--n", type=int, default=n)
     p.add_argument("--g", type=float, default=g)
     p.add_argument("--e", type=float, default=e)
@@ -113,11 +125,16 @@ def cmd_render(args) -> int:
 def cmd_bench(args) -> int:
     """benches/benchmark.rs analog: sweep N in 8192*{1,2,4,8,16} for each
     backend, report bodies/sec (criterion Throughput::Elements) and
-    pairs/sec. One JSON line per point."""
-    import jax
+    pairs/sec. One JSON line per point.
 
+    Timing: REPS donated steps enqueued as one dependency chain, closed by
+    ``hard_sync`` (host transfer of a derived scalar). Plain
+    block_until_ready under-reports on the tunneled TPU transport, and
+    per-step sync would measure the ~3 ms dispatch latency at small N —
+    see utils/profiling.hard_sync and CLAUDE.md.
+    """
     from wgpu_n_body_tpu.inits import uniform_init
-    from wgpu_n_body_tpu.runners.headless import OfflineHeadless
+    from wgpu_n_body_tpu.utils.profiling import hard_sync
 
     sizes = args.sizes or [8192 * k for k in (1, 2, 4, 8, 16)]
     sims = args.sim.split(",") if args.sim else ["naive", "tree"]
@@ -126,17 +143,18 @@ def cmd_bench(args) -> int:
         for n in sizes:
             a = argparse.Namespace(**vars(args))
             a.sim, a.n = sim_name, n
-            try:
-                sim = _build_sim(a)
-                runner = OfflineHeadless(sim, uniform_init, key=0)
-                runner.step()  # compile + warmup
-                t0 = time.perf_counter()
-                for _ in range(args.reps):
-                    runner.step()
-                jax.block_until_ready(runner.state)
-                dt = (time.perf_counter() - t0) / args.reps
-            except NotImplementedError:
-                continue
+            import jax
+
+            sim = _build_sim(a)
+            state = sim.init_state(jax.random.key(0), uniform_init)
+            step = sim.make_step(donate=True)
+            state = step(state)  # compile + warmup
+            hard_sync(state.pos)
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                state = step(state)
+            hard_sync(state.pos)
+            dt = (time.perf_counter() - t0) / args.reps
             rec = {
                 "sim": sim_name,
                 "n": n,
@@ -201,7 +219,7 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("bench", help="criterion-style sweep")
-    _add_sim_flags(p, n=8192, g=1e-6, e=1e-4, dt=0.016, sim="")
+    _add_sim_flags(p, n=8192, g=1e-6, e=1e-4, dt=0.016, sim="", sim_list=True)
     p.add_argument("--sizes", type=int, nargs="*", default=None)
     p.add_argument("--reps", type=int, default=10)
     p.set_defaults(fn=cmd_bench)

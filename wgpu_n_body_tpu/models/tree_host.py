@@ -31,12 +31,9 @@ from wgpu_n_body_tpu.params import ParticleState, SimParams, TreeParams
 
 @functools.lru_cache(maxsize=None)
 def _walk_step(params: SimParams, tp: TreeParams, donate: bool) -> StepFn:
-    # the host tree subdivides to singletons: walk with leaf_bucket=1
-    tp_walk = dataclasses.replace(tp, leaf_bucket=1)
-
     def step(state: ParticleState, tree: TreeArrays) -> ParticleState:
         def force(pos_new, pos_old, mass):
-            return tree_forces(pos_new, pos_old, mass, tree, params, tp_walk)
+            return tree_forces(pos_new, pos_old, mass, tree, params, tp)
 
         return leapfrog_step(state, params, force)
 
@@ -44,11 +41,23 @@ def _walk_step(params: SimParams, tp: TreeParams, donate: bool) -> StepFn:
 
 
 class TreeSimHost(Simulator):
-    """CPU-build / device-walk Barnes-Hut (reference-architecture parity)."""
+    """CPU-build / device-walk Barnes-Hut (reference-architecture parity).
+
+    The native builder subdivides to singleton leaves (exactly
+    tree.rs:506-540), so this backend requires ``leaf_bucket=1`` and
+    rejects anything else rather than silently overriding the caller.
+    """
 
     def __init__(self, sim_params: SimParams, add_params: TreeParams | None = None):
         super().__init__(sim_params)
-        self.add_params = add_params or TreeParams()
+        self.add_params = add_params or dataclasses.replace(
+            TreeParams(), leaf_bucket=1
+        )
+        if self.add_params.leaf_bucket != 1:
+            raise ValueError(
+                "TreeSimHost builds singleton leaves (reference parity); "
+                f"pass leaf_bucket=1, got {self.add_params.leaf_bucket}"
+            )
         if not native_available():
             raise RuntimeError(
                 "TreeSimHost requires the native octree builder (g++)"

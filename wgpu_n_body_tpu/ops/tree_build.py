@@ -82,25 +82,33 @@ class TreeArrays(NamedTuple):
     overflowed: jax.Array
 
 
-def morton_sort(state: ParticleState, depth: int):
-    """Sort particles by Morton key (the reference's per-step reorder).
+def morton_order(pos: jax.Array, depth: int):
+    """Morton ordering of positions: (perm, bound, sorted (hi, lo) keys).
 
-    Returns (sorted_state, bound) where bound = max(|coord|, 1.0)
-    (tree.rs:424-446: componentwise abs-max reduce with identity [1,1,1]).
+    bound = max(|coord|, 1.0) (tree.rs:424-446: componentwise abs-max
+    reduce with identity [1,1,1]). Callers that only need a subset of the
+    state permuted (e.g. the sharded step, which gathers just pos/mass)
+    use this directly; ``morton_sort`` wraps it for full states.
     """
-    bound = jnp.maximum(1.0, jnp.max(jnp.abs(state.pos)))
-    cell = morton.quantize(state.pos, bound, depth)
+    bound = jnp.maximum(1.0, jnp.max(jnp.abs(pos)))
+    cell = morton.quantize(pos, bound, depth)
     hi, lo = morton.morton_keys(cell, depth)
-    n = state.pos.shape[0]
+    n = pos.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    _, _, perm = jax.lax.sort((hi, lo, idx), num_keys=2)
+    hi_s, lo_s, perm = jax.lax.sort((hi, lo, idx), num_keys=2)
+    return perm, bound, (hi_s, lo_s)
+
+
+def morton_sort(state: ParticleState, depth: int):
+    """Sort particles by Morton key (the reference's per-step reorder)."""
+    perm, bound, keys = morton_order(state.pos, depth)
     sorted_state = ParticleState(
         pos=state.pos[perm],
         vel=state.vel[perm],
         acc=state.acc[perm],
         mass=state.mass[perm],
     )
-    return sorted_state, bound, (hi[perm], lo[perm])
+    return sorted_state, bound, keys
 
 
 def build_tree(
