@@ -5,6 +5,7 @@ import os
 import numpy as np
 
 from wgpu_n_body_tpu.runners.renderer import (
+    POINT_EXTENT,
     Camera,
     render_frame,
     render_trajectory,
@@ -15,7 +16,7 @@ from wgpu_n_body_tpu.runners.trajectory import TrajectoryReader, TrajectoryWrite
 
 def test_origin_projects_to_center():
     cam = Camera(aspect=1.0)
-    img = render_frame(np.zeros((1, 3), np.float32), cam, 101, 101)
+    img = render_frame(np.zeros((1, 3), np.float32), cam, 101, 101, footprint="splat")
     ys, xs = np.nonzero(img)
     assert len(xs) == 1
     # eye (0,1,2) looks straight at the origin -> exact image center
@@ -26,7 +27,7 @@ def test_origin_projects_to_center():
 def test_alpha_blend_closed_form():
     # k overlapping particles -> 1 - 0.75^k (order-independent blend)
     pos = np.zeros((5, 3), np.float32)
-    img = render_frame(pos, Camera(), 64, 64)
+    img = render_frame(pos, Camera(), 64, 64, footprint="splat")
     assert np.isclose(img.max(), 1 - 0.75**5)
 
 
@@ -35,8 +36,61 @@ def test_behind_camera_and_out_of_frustum_culled():
     pos = np.array(
         [[0, 1, 3.0], [50, 0, 0], [0, 0, 0]], np.float32
     )  # behind eye; far off-axis; visible
-    img = render_frame(pos, cam, 64, 64)
+    img = render_frame(pos, cam, 64, 64, footprint="splat")
     assert (img > 0).sum() == 1
+
+
+def test_triangle_footprint_scales_with_resolution():
+    # The instanced triangle has clip half-extent 0.006
+    # (online_renderer.rs:224-229): its pixel area grows ~quadratically
+    # with resolution, while a 1-px splat would stay one pixel.
+    pos = np.zeros((1, 3), np.float32)
+    cam = Camera(aspect=1.0)
+    lit = {}
+    for res in (400, 1600, 6400):
+        img = render_frame(pos, cam, res, res, footprint="triangle")
+        lit[res] = int((img > 0).sum())
+    # expected NDC half-extent: 0.006/w with w = |eye| = sqrt(5)
+    w = np.sqrt(5.0)
+    s_pix = POINT_EXTENT / w * 0.5 * 6400  # half-extent in pixels at 6400
+    expected_area = (2 * s_pix) * (2 * s_pix) / 2  # triangle area (px^2)
+    assert lit[6400] > lit[1600] > lit[400]
+    assert abs(lit[6400] - expected_area) / expected_area < 0.15
+    # every lit pixel is exactly one coverage: 1 - 0.75^1
+    img = render_frame(pos, cam, 6400, 6400, footprint="triangle")
+    assert np.isclose(img.max(), 0.25)
+
+
+def test_triangle_subpixel_matches_gpu_raster_dropout():
+    # A sub-pixel triangle that straddles no pixel center draws nothing —
+    # exactly what a non-MSAA GPU rasterizer does with the reference's
+    # 0.006 triangle at 400x400. Coverage across many particles must be
+    # close to the analytic triangle area in pixels.
+    rng = np.random.RandomState(0)
+    pos = rng.uniform(-0.3, 0.3, (4000, 3)).astype(np.float32)
+    cam = Camera(aspect=1.0)
+    img = render_frame(pos, cam, 400, 400, footprint="triangle")
+    # mean coverage per particle ~ triangle area at w ~ sqrt(5)
+    w = np.sqrt(5.0)
+    s_pix = POINT_EXTENT / w * 0.5 * 400
+    area = (2 * s_pix) ** 2 / 2
+    counts = np.log(1 - img) / np.log(0.75)  # invert the blend closed form
+    per_particle = counts.sum() / len(pos)
+    assert abs(per_particle - area) / area < 0.25
+
+
+def test_triangle_overfull_path_matches_vectorized():
+    # particles very near the camera get huge footprints -> scanline path;
+    # its geometry must agree with the vectorized window path (same
+    # triangle, tested at a resolution where the window path applies).
+    cam = Camera(eye=(0.0, 0.0, 2.0), aspect=1.0)
+    pos = np.array([[0.0, 0.0, 1.0]], np.float32)  # w = 1: 0.006 NDC
+    hi = render_frame(pos, cam, 4096, 4096, footprint="triangle")  # big
+    lo = render_frame(pos, cam, 1024, 1024, footprint="triangle")  # small
+    # both contain one triangle of NDC half-extent 0.006; areas scale 16x
+    a_hi = (hi > 0).sum()
+    a_lo = (lo > 0).sum()
+    assert abs(a_hi / max(a_lo, 1) - 16.0) < 2.0
 
 
 def test_camera_controller_moves():

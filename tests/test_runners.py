@@ -7,7 +7,7 @@ import jax
 import numpy as np
 import pytest
 
-from wgpu_n_body_tpu.inits import uniform_init
+from wgpu_n_body_tpu.inits import spherical_init, uniform_init
 from wgpu_n_body_tpu.models.naive import NaiveSim
 from wgpu_n_body_tpu.ops.energy import kinetic_energy, potential_energy, total_energy
 from wgpu_n_body_tpu.params import NaiveParams, SimParams
@@ -101,6 +101,20 @@ def test_energy_drift_small_over_short_run():
     r.run(steps=50, chunk=10)
     e1 = float(total_energy(r.state, params))
     assert abs(e1 - e0) / abs(e0) < 1e-3
+
+
+def test_energy_drift_long_horizon_proxy():
+    # CI-scale proxy of BASELINE config 5 (100k-step drift run): N=512
+    # spherical, 10k leapfrog steps in scan chunks. The reference
+    # integrator is not strictly symplectic (dt folded into acc +
+    # post-drift receiver positions), so drift is nonzero but must stay
+    # bounded: measured 7.5e-3 at this config (2026-08-16); assert 4x.
+    params = SimParams(particle_num=512, g=1e-6, e=1e-4, dt=0.016)
+    r = OfflineHeadless(NaiveSim(params, NP_), spherical_init, key=2)
+    e0 = float(total_energy(r.state, params))
+    r.run(steps=10_000, chunk=1000)
+    e1 = float(total_energy(r.state, params))
+    assert abs(e1 - e0) / abs(e0) < 0.03
 
 
 def test_chunk_cadence_validation():

@@ -95,18 +95,27 @@ def cmd_visualize(args) -> int:
 
     os.makedirs(args.out, exist_ok=True)
     written = 0
+    gif_frames = []
     for frame in range(args.frames):
         for _ in range(args.steps_per_frame):
             runner.step()
         img = render_frame(
-            runner.state.pos, camera, args.width, args.height
+            runner.state.pos, camera, args.width, args.height,
+            footprint=args.footprint,
         )
         path = os.path.join(args.out, f"frame_{frame:06d}.png")
         if not write_png(path, img):
             path = path[:-4] + ".ppm"
             write_ppm(path, img)
+        if args.gif:
+            gif_frames.append(img)
         written += 1
     print(f"wrote {written} frames to {args.out}")
+    if args.gif:
+        from wgpu_n_body_tpu.runners.gif import write_gif
+
+        write_gif(args.gif, gif_frames, fps=args.fps)
+        print(f"wrote animation to {args.gif}")
     return 0
 
 
@@ -119,6 +128,16 @@ def cmd_render(args) -> int:
     cam = Camera(aspect=args.width / args.height)
     paths = render_trajectory(reader, args.out, cam, args.width, args.height)
     print(f"wrote {len(paths)} frames to {args.out}")
+    if args.gif:
+        from wgpu_n_body_tpu.runners.renderer import render_frame
+        from wgpu_n_body_tpu.runners.gif import write_gif
+
+        frames = [
+            render_frame(pos, cam, args.width, args.height)
+            for _, pos in TrajectoryReader(args.trajectory)
+        ]
+        write_gif(args.gif, frames, fps=args.fps)
+        print(f"wrote animation to {args.gif}")
     return 0
 
 
@@ -209,6 +228,9 @@ def main(argv=None) -> int:
     p.add_argument("--frames", type=int, default=60)
     p.add_argument("--steps-per-frame", type=int, default=1)
     p.add_argument("--out", type=str, default="frames")
+    p.add_argument("--footprint", choices=["triangle", "splat"], default="triangle")
+    p.add_argument("--gif", type=str, default=None)
+    p.add_argument("--fps", type=float, default=30.0)
     p.set_defaults(fn=cmd_visualize)
 
     p = sub.add_parser("render", help="render a dumped trajectory")
@@ -216,6 +238,8 @@ def main(argv=None) -> int:
     p.add_argument("--out", type=str, default="frames")
     p.add_argument("--width", type=int, default=400)
     p.add_argument("--height", type=int, default=400)
+    p.add_argument("--gif", type=str, default=None)
+    p.add_argument("--fps", type=float, default=30.0)
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("bench", help="criterion-style sweep")

@@ -16,11 +16,15 @@ states or dumped trajectories, with identical camera geometry and blending:
   blending is order-independent: a pixel covered by k particles ends at
   1 - 0.75^k. We therefore count coverage per pixel (bincount) and apply
   that closed form — exact blend parity.
-- Point size: the reference instances a 3-vertex triangle of clip-space
-  half-extent 0.006 (online_renderer.rs:224-229, draw.wgsl:8-17), i.e.
-  ~1 px at 400x400 for unit-distance particles. We splat the nearest
-  pixel (sub-pixel triangles), a faithful approximation at the reference
-  window size.
+- Point size: the reference instances the triangle
+  [(-0.006,-0.006), (0.006,-0.006), (0, 0.006)] added in CLIP space
+  (online_renderer.rs:224-229, draw.wgsl:8-17), so its NDC extent is
+  0.006/w — perspective-scaled, resolution-independent. The default
+  ``footprint="triangle"`` rasterizes that exact triangle (pixel-center
+  coverage, like a GPU rasterizer without MSAA: sub-pixel triangles that
+  miss every pixel center draw nothing, exactly as the reference does at
+  400x400). ``footprint="splat"`` instead lights the nearest pixel per
+  particle — a denser approximation useful for diagnostics.
 """
 
 from __future__ import annotations
@@ -98,17 +102,78 @@ class Camera:
         return dataclasses.replace(self, eye=tuple(eye))
 
 
+#: clip-space half-extent of the instanced point triangle
+#: (online_renderer.rs:224: [-0.006,-0.006, 0.006,-0.006, 0.0,0.006])
+POINT_EXTENT = 0.006
+
+
+def _triangle_coverage(
+    cx, cy, sx, sy, width: int, height: int
+) -> np.ndarray:
+    """Per-pixel coverage counts of isoceles triangles (apex up in pixel
+    space) centered at (cx, cy) with half-extents (sx, sy), rasterized by
+    the pixel-center rule. Vectorized over a fixed offset window; the rare
+    oversized triangles (particles almost touching znear) fall back to a
+    per-triangle loop."""
+    counts = np.zeros(width * height, np.int64)
+    if len(cx) == 0:
+        return counts
+    span = np.maximum(2 * sx, 2 * sy)
+    big = span > 15.0
+    for sel, cap in ((~big, 16), (big, None)):
+        bx, by, bsx, bsy = cx[sel], cy[sel], sx[sel], sy[sel]
+        if len(bx) == 0:
+            continue
+        if cap is None:
+            # exact per-triangle scanline for the few huge footprints
+            for j in range(len(bx)):
+                x0 = max(0, int(np.floor(bx[j] - bsx[j] + 0.5)))
+                x1 = min(width - 1, int(np.floor(bx[j] + bsx[j] + 0.5)))
+                y0 = max(0, int(np.floor(by[j] - bsy[j] + 0.5)))
+                y1 = min(height - 1, int(np.floor(by[j] + bsy[j] + 0.5)))
+                if x1 < x0 or y1 < y0:
+                    continue
+                ys = np.arange(y0, y1 + 1)[:, None] + 0.5 - by[j]
+                xs = np.arange(x0, x1 + 1)[None, :] + 0.5 - bx[j]
+                hw = bsx[j] * (ys + bsy[j]) / (2.0 * bsy[j])
+                hit = (np.abs(ys) <= bsy[j]) & (np.abs(xs) <= hw)
+                iy, ix = np.nonzero(hit)
+                np.add.at(counts, (iy + y0) * width + (ix + x0), 1)
+            continue
+        ix0 = np.floor(bx - bsx + 0.5).astype(np.int64)
+        iy0 = np.floor(by - bsy + 0.5).astype(np.int64)
+        for ky in range(cap):
+            vy = iy0 + ky + 0.5 - by  # pixel-center offset from center
+            row_ok = np.abs(vy) <= bsy
+            if not row_ok.any():
+                continue
+            # apex up after the y flip: halfwidth sx at vy=+sy, 0 at -sy
+            hw = bsx * (vy + bsy) / (2.0 * bsy)
+            for kx in range(cap):
+                vx = ix0 + kx + 0.5 - bx
+                hit = row_ok & (np.abs(vx) <= hw)
+                gx = ix0 + kx
+                gy = iy0 + ky
+                hit &= (gx >= 0) & (gx < width) & (gy >= 0) & (gy < height)
+                if hit.any():
+                    np.add.at(counts, gy[hit] * width + gx[hit], 1)
+    return counts
+
+
 def render_frame(
     pos: np.ndarray,
     camera: Camera | None = None,
     width: int = 400,
     height: int = 400,
     alpha: float = 0.25,
+    footprint: str = "triangle",
 ) -> np.ndarray:
     """Rasterize particle positions to a (H, W) float image in [0, 1].
 
     Defaults mirror the reference visualizer: 400x400 window
-    (src/bin/visualize.rs:21-24), white points at alpha 0.25 on black.
+    (src/bin/visualize.rs:21-24), white alpha-0.25 triangles of clip-space
+    half-extent 0.006 on black (draw.wgsl, online_renderer.rs:224-229).
+    ``footprint="splat"`` lights the nearest pixel per particle instead.
     """
     if camera is None:
         camera = Camera(aspect=width / height)
@@ -116,19 +181,47 @@ def render_frame(
     p = np.asarray(pos, np.float32)
     clip = p @ m[:3, :3].T + m[:3, 3]
     w = p @ m[3, :3] + m[3, 3]
-    keep = (
-        (w > 0)
-        & (np.abs(clip[:, 0]) <= w)
-        & (np.abs(clip[:, 1]) <= w)
-        & (clip[:, 2] >= 0)
-        & (clip[:, 2] <= w)
-    )
-    ndc = clip[keep] / w[keep, None]
-    px = ((ndc[:, 0] + 1) * 0.5 * width).astype(np.int64)
-    py = ((1 - ndc[:, 1]) * 0.5 * height).astype(np.int64)
-    px = np.clip(px, 0, width - 1)
-    py = np.clip(py, 0, height - 1)
-    counts = np.bincount(py * width + px, minlength=width * height)
+    if footprint == "splat":
+        keep = (
+            (w > 0)
+            & (np.abs(clip[:, 0]) <= w)
+            & (np.abs(clip[:, 1]) <= w)
+            & (clip[:, 2] >= 0)
+            & (clip[:, 2] <= w)
+        )
+        ndc = clip[keep] / w[keep, None]
+        px = ((ndc[:, 0] + 1) * 0.5 * width).astype(np.int64)
+        py = ((1 - ndc[:, 1]) * 0.5 * height).astype(np.int64)
+        px = np.clip(px, 0, width - 1)
+        py = np.clip(py, 0, height - 1)
+        counts = np.bincount(py * width + px, minlength=width * height)
+    elif footprint == "triangle":
+        s = POINT_EXTENT
+        # keep anything whose triangle can reach the viewport; z-clip on
+        # the particle center (the triangle offset has z == 0, draw.wgsl:13)
+        keep = (
+            (w > 0)
+            & (np.abs(clip[:, 0]) <= w * (1 + s))
+            & (np.abs(clip[:, 1]) <= w * (1 + s))
+            & (clip[:, 2] >= 0)
+            & (clip[:, 2] <= w)
+        )
+        ndc = clip[keep] / w[keep, None]
+        s_ndc = s / w[keep]  # clip offset / w = NDC extent
+        cx = (ndc[:, 0] + 1) * 0.5 * width
+        cy = (1 - ndc[:, 1]) * 0.5 * height
+        sx = s_ndc * 0.5 * width
+        sy = s_ndc * 0.5 * height
+        counts = _triangle_coverage(
+            cx.astype(np.float64),
+            cy.astype(np.float64),
+            sx.astype(np.float64),
+            sy.astype(np.float64),
+            width,
+            height,
+        )
+    else:
+        raise ValueError(f"unknown footprint {footprint!r}")
     img = 1.0 - (1.0 - alpha) ** counts.reshape(height, width)
     return img.astype(np.float32)
 
