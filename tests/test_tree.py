@@ -285,8 +285,8 @@ def test_overfull_terminal_cell_exact_per_particle():
 
 
 def test_overfull_terminal_cell_exact_group_walk():
-    # The group walk defers tiles that open an overfull terminal cell to
-    # the (exact) per-particle fallback.
+    # Opened terminal cells of ANY count (including overfull max-depth
+    # cells) are summed exactly via member expansion — no deferral needed.
     from wgpu_n_body_tpu.ops.tree_walk_group import group_tree_forces
 
     n_cluster, n_far = 20, 44
@@ -302,7 +302,7 @@ def test_overfull_terminal_cell_exact_group_walk():
     got, stats = group_tree_forces(
         sorted_st.pos, sorted_st.pos, sorted_st.mass, tree, keys, params, tp
     )
-    assert int(stats.deferred) > 0  # the cluster tiles took the fallback
+    assert int(stats.deferred) == 0  # member expansion handles any count
     want = naive_forces_dense(
         sorted_st.pos, sorted_st.pos, sorted_st.mass, params
     )

@@ -119,7 +119,7 @@ class TreeSim(Simulator):
         Cheap enough for periodic logging; not part of the step."""
         params, tp = self.sim_params, self.add_params
         num_nodes, overflowed, deferred = _compiled_diagnose(params, tp)(state)
-        cap = tp.node_capacity_factor * params.particle_num + 1
+        cap = tp.capacity(params.particle_num)
         return {
             "num_nodes": int(num_nodes),
             "node_capacity": cap,
@@ -133,11 +133,7 @@ class TreeSim(Simulator):
         the runner to call once at startup and periodically after.
         Reference cap semantics: 4N octants (tree.rs:188-199)."""
         if bool(_compiled_overflow_check(self.sim_params, self.add_params)(state)):
-            cap = (
-                self.add_params.node_capacity_factor
-                * self.sim_params.particle_num
-                + 1
-            )
+            cap = self.add_params.capacity(self.sim_params.particle_num)
             raise RuntimeError(
                 f"octree arena overflow (cap {cap} nodes): forces are "
                 "truncated; raise node_capacity_factor or leaf_bucket"

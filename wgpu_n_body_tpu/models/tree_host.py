@@ -72,13 +72,13 @@ class TreeSimHost(Simulator):
     def make_step(self, donate: bool = True) -> StepFn:
         params = self.sim_params
         tp = self.add_params
-        cap = tp.node_capacity_factor * params.particle_num + 1
+        cap = tp.capacity(params.particle_num)
         walk = _walk_step(params, tp, donate)
 
         def step(state: ParticleState) -> ParticleState:
             pos = np.asarray(state.pos)
             mass = np.asarray(state.mass)
-            host = build_host_tree(pos, mass, tp.node_capacity_factor)
+            host = build_host_tree(pos, mass, tp.effective_capacity_factor)
             m = host.nodes_f32.shape[0] - 1
             if m > cap:
                 raise RuntimeError(f"host tree {m} nodes exceeds cap {cap}")

@@ -65,6 +65,33 @@ def morton_keys(cell: jnp.ndarray, depth: int) -> tuple[jnp.ndarray, jnp.ndarray
     return hi, lo
 
 
+def split_levels(
+    hi: jnp.ndarray, lo: jnp.ndarray, depth: int
+) -> jnp.ndarray:
+    """(n,) int32: the shallowest level at which key[i] differs from
+    key[i-1] — i.e. particle i starts a new cell run at exactly the
+    levels >= split_levels[i]. Element 0 is 0 (a run start everywhere);
+    identical adjacent keys give depth+1 (never a start). One clz pass
+    replaces per-level prefix comparisons (prefixes nest, so run starts
+    are monotone in level)."""
+    import jax
+
+    d_hi = min(depth, 10)
+    xh = (hi[1:] ^ hi[:-1]).astype(jnp.int32)
+    xl = (lo[1:] ^ lo[:-1]).astype(jnp.int32)
+    # highest differing bit -> first differing level:
+    # hi holds levels 1..d_hi in its low 3*d_hi bits (level L at bits
+    # [3*(d_hi-L)+2 : 3*(d_hi-L)]), lo holds levels d_hi+1..depth.
+    bh = 31 - jax.lax.clz(xh)
+    bl = 31 - jax.lax.clz(xl)
+    lvl = jnp.where(
+        xh != 0,
+        d_hi - bh // 3,
+        jnp.where(xl != 0, depth - bl // 3, depth + 1),
+    ).astype(jnp.int32)
+    return jnp.concatenate([jnp.zeros((1,), jnp.int32), lvl])
+
+
 def prefix_at_level(
     hi: jnp.ndarray, lo: jnp.ndarray, level: int, depth: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -25,9 +25,9 @@ Equivalences, proven by construction:
   (tree.rs:521-534). Bounds = max(|coord|) with identity 1.0, root_width =
   2*bound (tree.rs:424-451).
 
-Arena is statically sized cap = node_capacity_factor*N + 1 (reference tree
-buffer: 4N octants, tree.rs:188-199); the last row is an inert sentinel for
-finished walk lanes. Overflow (more real nodes than cap) clamps
+Arena is statically sized cap = TreeParams.capacity(N) (reference tree
+buffer: 4N octants, tree.rs:188-199; 2N default for bucketed leaves); the
+last row is an inert sentinel for finished walk lanes. Overflow (more real nodes than cap) clamps
 ``num_nodes`` to the arena size — walks stay bounded and terminate, forces
 lose the truncated tail — and raises the ``overflowed`` flag so the step
 driver can fail loudly (TreeSim.check_overflow / OfflineHeadless).
@@ -40,7 +40,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from wgpu_n_body_tpu.ops import morton
+from wgpu_n_body_tpu.ops import morton, scan
 from wgpu_n_body_tpu.params import ParticleState, TreeParams
 
 # nodes_f32 column layout
@@ -68,9 +68,9 @@ class TreeArrays(NamedTuple):
 
     ``NO_CHILD`` column is 3-state: 0 = internal, 1 = terminal cell whose
     count fits leaf_bucket (direct-summable), 2 = terminal cell at
-    max_depth holding MORE than leaf_bucket particles (exact evaluation
-    needs chunked direct summation — the group walk defers such tiles to
-    the per-particle walk, which handles any count).
+    max_depth holding MORE than leaf_bucket particles (the per-particle
+    walk direct-sums these in bucket-sized chunks; the group walk expands
+    members one per iteration, so any count is exact in both).
     """
 
     nodes_f32: jax.Array
@@ -117,71 +117,50 @@ def build_tree(
     bound: jax.Array,
     params: TreeParams,
 ) -> TreeArrays:
-    """Build the DFS node arena from Morton-sorted particles."""
+    """Build the DFS node arena from Morton-sorted particles.
+
+    r2 redesign (5-8x faster than the r1 per-level segmented scans,
+    which cost 549 ms at N=1M): run structure at ALL levels derives from
+    ONE clz pass (morton.split_levels — run starts nest across levels),
+    two batched (depth+1, n) blocked scans give run ends/starts, and
+    mass/cog totals come from differencing a single float-float global
+    prefix sum at run boundaries (ops/scan.ff_cumsum_ext; ~2^-48 relative
+    error, far below f32 ulp of any node total). Emission is node-centric:
+    a node's level range per particle is CONTIGUOUS ([split level ..
+    deepest level whose parent run still exceeds leaf_bucket]), so
+    node -> (particle, level) needs no per-level popcount ranking.
+    """
     depth = params.max_depth
     pos, mass = state_sorted.pos, state_sorted.mass
     n = pos.shape[0]
-    cap = params.node_capacity_factor * n + 1
+    cap = params.capacity(n)
     hi, lo = keys
     root_width = 2.0 * bound
+    bucket = params.leaf_bucket
 
     ii = jnp.arange(n, dtype=jnp.int32)
 
-    # Runs of equal key prefixes are contiguous on the sorted axis: run
-    # boundaries and counts come from exact int32 scans (cummax/cummin).
-    # Mass/cog aggregates use a SEGMENTED associative scan (sum resets at
-    # run starts) — numerically local like a per-segment sum (differencing
-    # one global cumsum would carry ~eps*total_mass error into small
-    # nodes), but ~9x faster than scatter-add segment_sum on TPU at N=1M.
-    mvals = jnp.concatenate([mass[:, None], mass[:, None] * pos], axis=1)
-
-    def _seg_comb(a, b):
-        (sa, fa), (sb, fb) = a, b
-        return jnp.where(fb, sb, sa + sb), fa | fb
-
-    # Per-level segment structure over the sorted particle axis.
-    starts = []  # (n,) bool: particle begins a run at this level
-    run_starts = []  # (n,) int32: index of my run's first particle
-    run_ends = []  # (n,) int32: one past my run's last particle
-    counts = []  # (n,) int32: size of my run
-    seg_sum_m = []  # (n,) f32: my run's total mass
-    seg_sum_mp = []  # (n,3) f32: my run's total m*p
-    for lvl in range(depth + 1):
-        ph, plo = morton.prefix_at_level(hi, lo, lvl, depth)
-        if lvl == 0:
-            start = ii == 0
-        else:
-            start = jnp.concatenate(
-                [
-                    jnp.ones((1,), bool),
-                    (ph[1:] != ph[:-1]) | (plo[1:] != plo[:-1]),
-                ]
-            )
-        rs = jax.lax.cummax(jnp.where(start, ii, jnp.int32(-1)))
-        nxt = jnp.where(start, ii, jnp.int32(n))
-        ns = jax.lax.cummin(nxt[::-1])[::-1]  # min start index >= i
-        re = jnp.concatenate([ns[1:], jnp.full((1,), n, jnp.int32)])
-        flag = jnp.broadcast_to(start[:, None], (n, 4))
-        seg_inc, _ = jax.lax.associative_scan(_seg_comb, (mvals, flag))
-        tot = seg_inc[re - 1]  # inclusive scan at run end == run total
-        starts.append(start)
-        run_starts.append(rs)
-        run_ends.append(re)
-        counts.append(re - rs)
-        seg_sum_m.append(tot[:, 0])
-        seg_sum_mp.append(tot[:, 1:4])
+    # Per-level run structure from nested starts: particle i starts a run
+    # at exactly the levels >= s[i].
+    s = morton.split_levels(hi, lo, depth)  # (n,) int32
+    lv = jnp.arange(depth + 1, dtype=jnp.int32)[:, None]
+    start_all = s[None, :] <= lv  # (depth+1, n) bool
+    rs_all = scan.cummax_last(jnp.where(start_all, ii[None, :], jnp.int32(-1)))
+    nxt = jnp.where(start_all, ii[None, :], jnp.int32(n))
+    ns = scan.cummin_last(nxt[:, ::-1])[:, ::-1]  # min start index >= i
+    re_all = jnp.concatenate(
+        [ns[:, 1:], jnp.full((depth + 1, 1), n, jnp.int32)], axis=1
+    )
+    counts_dense = re_all - rs_all  # run size containing i, per level
 
     # A node is real iff root, or its parent run holds more than
-    # leaf_bucket particles. With leaf_bucket=1 this is the reference's
-    # subdivide-while->=2 rule (tree.rs:506-540); larger buckets stop
-    # early and are evaluated exactly by direct summation when opened.
-    bucket = params.leaf_bucket
-    real = [starts[0]]
-    for lvl in range(1, depth + 1):
-        real.append(starts[lvl] & (counts[lvl - 1] > bucket))
-
-    # DFS enumeration by (start particle, level).
-    c_per_particle = sum(r.astype(jnp.int32) for r in real)
+    # leaf_bucket particles (reference subdivide-while->=2 rule,
+    # tree.rs:506-540, generalized to buckets). Run sizes are monotone
+    # non-increasing in level, so particle i's real levels form the
+    # contiguous range [s[i], min(t[i], depth)] with t[i] = number of
+    # levels whose containing run still exceeds the bucket.
+    t = jnp.sum((counts_dense > bucket).astype(jnp.int32), axis=0)
+    c_per_particle = jnp.maximum(0, jnp.minimum(t, depth) - s + 1)
     offset = jnp.cumsum(c_per_particle) - c_per_particle  # exclusive scan
     num_nodes_raw = offset[-1] + c_per_particle[-1]
     # Clamp to the arena: walks bound their loops by num_nodes, so an
@@ -192,91 +171,67 @@ def build_tree(
     offset_ext = jnp.concatenate([offset, num_nodes_raw[None]])
 
     # Node emission is GATHER-based (inverse mapping node -> (level,
-    # particle)) rather than 17 scatters of (n, 8) payloads — random
-    # scatters run at ~1e8 elem/s on TPU (1.7 s at N=1M) while the same
-    # emission as one small scatter + cummax + row gather takes ~90 ms.
-    #
-    # (a) dense per-(level, particle) payload tables, (17n, 8) f32 and a
-    #     separate (17n,) int32 for skip. Skip must NOT ride through f32:
-    #     small int32 values bitcast to f32 are denormals, and TPU flushes
-    #     denormals to zero in f32 selects — a zeroed skip pointer makes
-    #     the stackless walk loop forever (observed as a TPU worker hang).
-    # Only cog+mass ride the payload table — width and the leaf flags are
-    # recomputed from (level, count) at emission, keeping the table at
-    # (17n, 4) f32 (half of (17n, 8); ~1.1 GB saved at N=4M).
-    payloads = []
-    skip_payloads = []
-    count_payloads = []
-    real_bits = jnp.zeros((n,), jnp.int32)
-    for lvl in range(depth + 1):
-        r = real[lvl]
-        cnt = counts[lvl]
-        is_single = cnt == 1
-        # cog: exact particle position for singletons (tree.rs:525-529),
-        # mass-weighted mean otherwise.
-        cog = jnp.where(
-            is_single[:, None], pos, seg_sum_mp[lvl] / seg_sum_m[lvl][:, None]
-        )
-        node_skip = offset_ext[run_ends[lvl]]  # at starts, run end == i+cnt
-        payloads.append(
-            jnp.stack(
-                [cog[:, 0], cog[:, 1], cog[:, 2], seg_sum_m[lvl]], axis=1
-            )
-        )
-        skip_payloads.append(node_skip)
-        count_payloads.append(cnt)
-        real_bits = real_bits | (r.astype(jnp.int32) << lvl)
-    payload_all = jnp.concatenate(payloads, axis=0)  # (17n, 4)
-    skip_all = jnp.concatenate(skip_payloads)  # (17n,) int32
-    count_all = jnp.concatenate(count_payloads)  # (17n,) int32
-
-    # (b) particle-of-node over the arena: one n-sized scatter + cummax.
+    # particle)): one n-sized scatter + cummax recovers each node's first
+    # particle, and the contiguous level range gives its level by rank.
     kk = jnp.arange(cap, dtype=jnp.int32)
     has_nodes = c_per_particle > 0
     pon = jnp.full((cap,), -1, jnp.int32)
     pon = pon.at[jnp.where(has_nodes, offset, cap)].set(
         jnp.where(has_nodes, ii, -1), mode="drop"
     )
-    pon = jax.lax.cummax(pon)
+    pon = scan.cummax_last(pon)
     pon_c = jnp.clip(pon, 0, max(n - 1, 0))
     rank = kk - offset[pon_c]
-    # (c) level of node k = rank-th set bit of its particle's real mask.
-    mask_k = real_bits[pon_c]
-    lvl_of = jnp.zeros((cap,), jnp.int32)
-    for lvl in range(depth + 1):
-        below = jax.lax.population_count(mask_k & ((1 << lvl) - 1))
-        hit = (((mask_k >> lvl) & 1) > 0) & (below == rank)
-        lvl_of = jnp.where(hit, lvl, lvl_of)
-    # (d) gathers + derived columns + sentinel fill. first particle of
-    # node k IS pon(k); width/flags derive from (lvl_of, count).
+    lvl_of = jnp.clip(s[pon_c] + rank, 0, depth)
+
+    # Per-node gathers: run end -> count/skip; float-float prefix-sum
+    # boundary differences -> mass and m*p totals. Skip stays in int32
+    # end-to-end (small ints bitcast to f32 are denormals, and TPU
+    # flushes denormals in f32 selects — a zeroed skip pointer loops the
+    # stackless walk forever, observed as a TPU worker hang).
     valid = kk < num_nodes
     flat = lvl_of * n + pon_c
-    cogm = jnp.take(payload_all, flat, axis=0)  # (cap, 4)
-    count_k = jnp.take(count_all, flat)
+    re_k = jnp.take(re_all.reshape(-1), flat)
+    count_k = re_k - pon_c
+    mvals = jnp.concatenate([mass[:, None], mass[:, None] * pos], axis=1)
+    cs_hi, cs_lo = scan.ff_cumsum_ext(mvals)  # (n+1, 4)
+    tot = (
+        jnp.take(cs_hi, re_k, axis=0) - jnp.take(cs_hi, pon_c, axis=0)
+    ) + (jnp.take(cs_lo, re_k, axis=0) - jnp.take(cs_lo, pon_c, axis=0))
+    # cog: exact particle position for singletons (tree.rs:525-529),
+    # mass-weighted mean otherwise.
+    is_single = count_k == 1
+    cog = jnp.where(
+        is_single[:, None],
+        jnp.take(pos, pon_c, axis=0),
+        tot[:, 1:4] / tot[:, 0:1],
+    )
     width_k = root_width * jnp.exp2(-lvl_of.astype(jnp.float32))
-    is_single_k = (count_k == 1).astype(jnp.float32)
     # 3-state terminal flag (see TreeArrays docstring): 2 marks max-depth
-    # cells overfull relative to leaf_bucket, which need chunked direct
-    # summation for exact forces.
+    # cells overfull relative to leaf_bucket (direct summation must chunk).
     terminal_k = (count_k <= bucket) | (lvl_of == depth)
     no_child_k = jnp.where(
         terminal_k, jnp.where(count_k > bucket, 2.0, 1.0), 0.0
     ).astype(jnp.float32)
     rows = jnp.concatenate(
         [
-            cogm,
+            cog,
+            tot[:, 0:1],
             width_k[:, None],
-            is_single_k[:, None],
+            is_single.astype(jnp.float32)[:, None],
             no_child_k[:, None],
             jnp.zeros((cap, 1), jnp.float32),
         ],
         axis=1,
     )
+    # Sentinel cog must be far away yet keep r^2 and w finite in f32 (the
+    # group eval relies on zero mass x finite weight == exactly zero;
+    # 1e30 would square to inf and poison sums with inf*0 = NaN).
     sentinel = jnp.zeros((NODE_F32_COLS,), jnp.float32)
-    sentinel = sentinel.at[COG_X].set(1e30).at[NO_CHILD].set(1.0)
+    sentinel = sentinel.at[COG_X].set(1e15).at[NO_CHILD].set(1.0)
     rows = jnp.where(valid[:, None], rows, sentinel[None, :])
     nodes = jnp.concatenate([rows, sentinel[None, :]], axis=0)  # (cap+1, 8)
-    skip = jnp.where(valid, jnp.take(skip_all, flat), cap)
+    skip = jnp.where(valid, jnp.take(offset_ext, re_k), cap)
     skip = jnp.concatenate([skip, jnp.full((1,), cap, jnp.int32)])
     first = jnp.where(valid, pon_c, n)
     first = jnp.concatenate([first, jnp.full((1,), n, jnp.int32)])

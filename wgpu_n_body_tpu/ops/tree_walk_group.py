@@ -16,24 +16,31 @@ reference's workgroup-of-64 dispatch, sims/mod.rs:7):
   phase A  every tile walks the DFS arena once with a *conservative*
            acceptance test against its bbox: accept node iff
            width < theta * dmin(bbox, cog). theta-accepted nodes enter the
-           tile's interaction list as far (point-mass) entries; opened
-           leaf buckets enter as near (direct-sum) entries. Gathers:
-           O(T * visits).
+           tile's interaction list as point-mass rows; opened leaf buckets
+           are EXPANDED — the lane stays on the bucket for `count`
+           iterations, emitting each member particle as its own point row
+           (r1 instead emitted one bucket entry that the eval pass
+           direct-summed with leaf_bucket sub-passes gated per chunk;
+           near entries are interleaved through every chunk, so nearly
+           every chunk paid bucket x the full chunk math — measured 80%
+           of the walk). Tiles are processed in DENSITY order (deepest
+           adaptive cell first): lockstep visit counts within a block then
+           match, where Morton-block order wasted ~8x on mixed blocks.
   phase B  dense evaluation: each tile's particles against its list in
-           (G x chunk) VPU blocks — far entries with the exact point-mass
-           formula (tree.wgsl:66-67), near entries by exact direct
-           summation over their particle ranges with i==j excluded by
-           global index (naive.wgsl:30-32 semantics).
-  fallback tiles that exhaust the traversal row budget (2*walk_list_cap
-           visits) or spill past the static tile budget defer their
-           particles to the reference-exact per-particle walk. The
-           fallback runs under ``lax.cond`` — zero cost when nothing
-           deferred (the common case).
+           (G x chunk) VPU blocks with ONE uniform point-mass formula
+           (tree.wgsl:66-67) — node rows and member rows read from one
+           combined table; self-interaction is excluded by global index
+           (naive.wgsl:30-32 semantics) via the member row's index column.
+  fallback tiles that exhaust the traversal row budget defer their
+           particles to the reference-exact per-particle walk, under
+           ``lax.cond`` — zero cost when nothing deferred.
 
 Accuracy: dmin <= every member's own distance, so a group-accepted node
 passes each member's own theta test — the group walk opens a superset of
 the per-particle walk's nodes and is at least as accurate for every
-particle. theta -> 0 still degenerates to the exact all-pairs sum.
+particle. Opened buckets of ANY count (including overfull max-depth cells)
+are summed exactly via member expansion. theta -> 0 degenerates to the
+exact all-pairs sum.
 """
 
 from __future__ import annotations
@@ -44,8 +51,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from wgpu_n_body_tpu.ops import morton
-from wgpu_n_body_tpu.ops.tree_build import MASS, NO_CHILD, WIDTH, TreeArrays
+from wgpu_n_body_tpu.ops import morton, scan
+from wgpu_n_body_tpu.ops.tree_build import NO_CHILD, WIDTH, TreeArrays
 from wgpu_n_body_tpu.ops.tree_walk import tree_forces
 from wgpu_n_body_tpu.params import SimParams, TreeParams
 
@@ -65,39 +72,34 @@ def _tile_assignment(keys, n, depth, g_tile):
     spanning one that also contains the galaxy core gets a huge bbox and
     must open the whole core (~100k visits per tile).
 
-    Returns (tile_id (n,) int32, t_cap static int, t_blk static int).
+    Run structure at all levels comes from one clz pass + two batched
+    blocked scans (run starts nest across levels — see
+    morton.split_levels), not a per-level loop.
+
+    Returns (tile_id (n,), lstar (n,), t_cap, t_blk, ta_blk) — lstar is
+    the per-particle adaptive-cell depth, the density key for phase-A
+    block formation.
     """
     hi, lo = keys
     ii = jnp.arange(n, dtype=jnp.int32)
-    # per-particle deepest level with run count >= g_tile, and that cell id
-    lstar = jnp.zeros((n,), jnp.int32)
-    cell_hi = jnp.zeros_like(hi)
-    cell_lo = jnp.zeros_like(lo)
-    for lvl in range(depth + 1):
-        ph, plo = morton.prefix_at_level(hi, lo, lvl, depth)
-        if lvl == 0:
-            start = ii == 0
-        else:
-            start = jnp.concatenate(
-                [jnp.ones((1,), bool), (ph[1:] != ph[:-1]) | (plo[1:] != plo[:-1])]
-            )
-        rs = lax.cummax(jnp.where(start, ii, jnp.int32(-1)))
-        nxt = jnp.where(start, ii, jnp.int32(n))
-        ns = lax.cummin(nxt[::-1])[::-1]
-        re = jnp.concatenate([ns[1:], jnp.full((1,), n, jnp.int32)])
-        big = (re - rs) >= g_tile
-        lstar = jnp.where(big, lvl, lstar)
-        cell_hi = jnp.where(big, ph, cell_hi)
-        cell_lo = jnp.where(big, plo, cell_lo)
-    grp_start = jnp.concatenate(
-        [
-            jnp.ones((1,), bool),
-            (lstar[1:] != lstar[:-1])
-            | (cell_hi[1:] != cell_hi[:-1])
-            | (cell_lo[1:] != cell_lo[:-1]),
-        ]
+    s = morton.split_levels(hi, lo, depth)
+    lv = jnp.arange(depth + 1, dtype=jnp.int32)[:, None]
+    start_all = s[None, :] <= lv
+    rs_all = scan.cummax_last(jnp.where(start_all, ii[None, :], jnp.int32(-1)))
+    nxt = jnp.where(start_all, ii[None, :], jnp.int32(n))
+    ns = scan.cummin_last(nxt[:, ::-1])[:, ::-1]
+    re_all = jnp.concatenate(
+        [ns[:, 1:], jnp.full((depth + 1, 1), n, jnp.int32)], axis=1
     )
-    rs_grp = lax.cummax(jnp.where(grp_start, ii, jnp.int32(-1)))
+    counts_dense = re_all - rs_all
+    # deepest level whose containing run still holds >= g_tile particles
+    lstar = jnp.sum((counts_dense >= g_tile).astype(jnp.int32), axis=0) - 1
+    lstar = jnp.clip(lstar, 0, depth)
+    # piece break where the adaptive cell changes (the key prefix at
+    # lstar differs, or lstar itself changes) or every g_tile particles
+    prev_lstar = jnp.concatenate([jnp.full((1,), -1, jnp.int32), lstar[:-1]])
+    grp_start = (ii == 0) | (lstar != prev_lstar) | (s <= lstar)
+    rs_grp = scan.cummax_last(jnp.where(grp_start, ii, jnp.int32(-1)))
     brk = grp_start | ((ii - rs_grp) % g_tile == 0)
     tile_id = jnp.cumsum(brk).astype(jnp.int32) - 1
     # static budget: count chunks (N/G) + group starts. Maximal same-cell
@@ -106,13 +108,11 @@ def _tile_assignment(keys, n, depth, g_tile):
     t_cap = -(-n // g_tile) + max(8, 2 * -(-n // g_tile))
     t_blk = min(256, t_cap)
     t_cap = -(-t_cap // t_blk) * t_blk
-    # phase-A traversal block: Morton-contiguous groups of tiles walk in
-    # their own while loop, so a block's iteration count is ITS max visits,
-    # not the global max (visit counts are heavily skewed and spatially
-    # correlated — galaxy-core tiles cluster into a few blocks)
+    # phase-A traversal block: tiles are grouped by DENSITY (lstar), so a
+    # block's lockstep iteration count is the max over similar tiles
     ta_blk = min(2048, t_cap)
     t_cap = -(-t_cap // ta_blk) * ta_blk
-    return tile_id, t_cap, t_blk, ta_blk
+    return tile_id, lstar, t_cap, t_blk, ta_blk
 
 
 def group_tree_forces(
@@ -129,8 +129,8 @@ def group_tree_forces(
 
     pos_new:  (B, 3) post-drift receiver positions, a contiguous slice of
               the sorted order (B == N single-chip; a shard otherwise).
-    src_pos:  (N, 3) pre-step source positions, FULL sorted order (direct
-              bucket evaluation reads these — the reference's src buffer).
+    src_pos:  (N, 3) pre-step source positions, FULL sorted order (member
+              rows read these — the reference's src buffer).
     src_mass: (N,) sorted masses.
     keys:     Morton keys of the receivers (same slice as pos_new).
     gid_offset: global sorted index of receiver row 0 (shard offset).
@@ -140,12 +140,14 @@ def group_tree_forces(
     cap = tree.nodes_f32.shape[0] - 1
     g = tree_params.walk_tile
     l_cap = tree_params.walk_list_cap
-    bucket = tree_params.leaf_bucket
     theta = tree_params.theta
     gdt = params.g * params.dt
     depth = tree_params.max_depth
+    e = params.e
 
-    tile_id_raw, t_cap, t_blk, ta_blk = _tile_assignment(keys, n, depth, g)
+    tile_id_raw, lstar, t_cap, t_blk, ta_blk = _tile_assignment(
+        keys, n, depth, g
+    )
     spilled = tile_id_raw >= t_cap  # merged into the last tile id; deferred
     tile_id = jnp.minimum(tile_id_raw, t_cap - 1)
     ii = jnp.arange(n, dtype=jnp.int32)
@@ -168,20 +170,71 @@ def group_tree_forces(
         max(n - 1, 0),
     )  # (T, G)
     tiles = pos_new[part_idx]  # (T, G, 3)
-    # GLOBAL sorted index per slot, for exact self-exclusion in direct
-    # bucket sums; invalid (padding) slots get n_src (matches nothing)
+    # GLOBAL sorted index per slot, for exact self-exclusion against
+    # member rows; invalid (padding) slots get n_src (matches nothing)
     valid_slot = sidx[None, :] < piece_len[:, None]
     slot_gid = jnp.where(valid_slot, part_idx + gid_offset, n_src)  # (T, G)
 
     bbox_lo = jnp.min(tiles, axis=1)  # (T, 3)
     bbox_hi = jnp.max(tiles, axis=1)
 
-    # (n_src+1, 4) source table [pos xyz, mass]; last row = zero-mass
-    # sentinel
-    src_tbl = jnp.concatenate(
+    # DENSITY ordering: phase-A blocks traverse in lockstep, so a block's
+    # cost is its max visit count. Tiles from the galaxy core visit ~10x
+    # more rows than rim tiles; Morton-contiguous blocks mix them (r1:
+    # ~8x lockstep waste measured at N=1M). Sorting tiles by adaptive-cell
+    # depth (denser = deeper = more visits), Morton-stable within a depth,
+    # makes blocks near-uniform. Everything tile-indexed below runs in
+    # density order; results are unsorted once at the end.
+    lstar_tile = jnp.where(
+        piece_len > 0, lstar[jnp.clip(piece_start, 0, max(n - 1, 0))], -1
+    )
+    tt = jnp.arange(t_cap, dtype=jnp.int32)
+    order = jnp.argsort(-(lstar_tile * t_cap) - (t_cap - tt)).astype(jnp.int32)
+    inv_order = jnp.argsort(order).astype(jnp.int32)
+    tiles_d = jnp.take(tiles, order, axis=0)
+    gid_d = jnp.take(slot_gid, order, axis=0)
+    bbox_lo_d = jnp.take(bbox_lo, order, axis=0)
+    bbox_hi_d = jnp.take(bbox_hi, order, axis=0)
+    piece_len_d = jnp.take(piece_len, order)
+
+    # ---- combined evaluation table: nodes ++ source particles ----
+    # One int32 view (int columns must never ride through f32 selects —
+    # denormal flushing, see tree_build) holding, per row:
+    #   [x, y, z, mass] (f32 bits)  |  cols 4-6 unused  |  col 7 = global
+    #   particle index for member rows, -1 for node rows (never equal to
+    #   a receiver gid).
+    # Node k's point-mass row IS row k; source particle j's row is
+    # cap+1+j. Phase A emits row ids straight into the lists; phase B is
+    # then a single uniform gather + point-mass pass, with the sentinel
+    # (row cap: zero mass, cog 1e30) contributing exactly zero.
+    node_bits = lax.bitcast_convert_type(tree.nodes_f32, jnp.int32)
+    node_rows = jnp.concatenate(
+        [node_bits[:, :7], jnp.full((cap + 1, 1), -1, jnp.int32)], axis=1
+    )
+    part_bits = lax.bitcast_convert_type(
+        jnp.concatenate([src_pos, src_mass[:, None]], axis=1), jnp.int32
+    )
+    part_rows = jnp.concatenate(
         [
-            jnp.concatenate([src_pos, jnp.full((1, 3), 1e15, jnp.float32)]),
-            jnp.concatenate([src_mass, jnp.zeros((1,), jnp.float32)])[:, None],
+            part_bits,
+            jnp.zeros((n_src, 3), jnp.int32),
+            jnp.arange(n_src, dtype=jnp.int32)[:, None],
+        ],
+        axis=1,
+    )
+    comb_i32 = jnp.concatenate([node_rows, part_rows], axis=0)
+    member_base = cap + 1
+
+    # ---- traversal table: one 8-col int32 row gather per visited node ----
+    # [cx, cy, cz, width] (f32 bits) | no_child | skip | first | count
+    tbl_walk = jnp.concatenate(
+        [
+            node_bits[:, :3],
+            node_bits[:, WIDTH : WIDTH + 1],
+            tree.nodes_f32[:, NO_CHILD].astype(jnp.int32)[:, None],
+            tree.skip[:, None],
+            tree.first[:, None],
+            tree.count[:, None],
         ],
         axis=1,
     )
@@ -193,30 +246,17 @@ def group_tree_forces(
     # multi-MB array) copies the whole array every iteration on TPU —
     # measured 63 us/iter vs ~20 us for the in-place row write. Rows where
     # a tile did not accept hold the sentinel `cap` and cost only wasted
-    # phase-B lanes (visits/accepts ~ 1.5x).
+    # phase-B lanes.
     # The iteration budget IS the list capacity: overflow cannot happen;
     # tiles not finished within R rows are deferred to the fallback.
-    #
-    # Node rows are gathered once per step from an int32 view of the node
-    # table with the skip pointer in column 7 — one gather instead of two
-    # (skip must never pass through f32 ops: small ints are denormals and
-    # TPU flushes them to zero), and tiles traverse in Morton-contiguous
-    # blocks of ta_blk, each bounded by its own slowest tile.
     unroll = 16
     # rows: multiple of 256 so the eval chunk (min(256, r_cap)) always
     # divides it and unroll (16) always divides the chunk
     r_cap = -(-(2 * l_cap) // 256) * 256
     iter_cap = r_cap // unroll
-    tbl_i32 = jnp.concatenate(
-        [
-            jax.lax.bitcast_convert_type(tree.nodes_f32[:, :7], jnp.int32),
-            tree.skip[:, None],
-        ],
-        axis=1,
-    )  # (cap+1, 8) int32
 
     # empty tiles start done
-    cur_init = jnp.where(piece_len > 0, 0, tree.num_nodes).astype(jnp.int32)
+    cur_init = jnp.where(piece_len_d > 0, 0, tree.num_nodes).astype(jnp.int32)
     chunk = min(256, r_cap)
     if r_cap % chunk or t_cap % t_blk or ta_blk % t_blk:
         raise ValueError(
@@ -224,13 +264,12 @@ def group_tree_forces(
             f"{r_cap}, chunk={chunk}, t_cap={t_cap}, t_blk={t_blk}, "
             f"ta_blk={ta_blk}"
         )
-    e = params.e
 
     def walk_block(b, carry):
         acc_all, bad_all = carry
         t0 = b * ta_blk
-        blo = lax.dynamic_slice(bbox_lo, (t0, 0), (ta_blk, 3))
-        bhi = lax.dynamic_slice(bbox_hi, (t0, 0), (ta_blk, 3))
+        blo = lax.dynamic_slice(bbox_lo_d, (t0, 0), (ta_blk, 3))
+        bhi = lax.dynamic_slice(bbox_hi_d, (t0, 0), (ta_blk, 3))
         cur0 = lax.dynamic_slice(cur_init, (t0,), (ta_blk,))
 
         def cond(carry):
@@ -238,62 +277,69 @@ def group_tree_forces(
             return (it < iter_cap) & jnp.any(cur < tree.num_nodes)
 
         def body(carry):
-            it, cur, hit, lists, visits = carry
+            it, cur, koff, lists, visits = carry
             rows = []
             for _ in range(unroll):
                 done = cur >= tree.num_nodes
-                raw = jnp.take(tbl_i32, cur, axis=0)  # (TA, 8) int32
-                row = jax.lax.bitcast_convert_type(raw[:, :7], jnp.float32)
-                nskip = raw[:, 7]
-                cx, cy, cz = row[:, 0], row[:, 1], row[:, 2]
+                raw = jnp.take(tbl_walk, cur, axis=0)  # (TA, 8) int32
+                xyzw = lax.bitcast_convert_type(raw[:, :4], jnp.float32)
+                nskip = raw[:, 5]
+                nfirst = raw[:, 6]
+                ncnt = raw[:, 7]
+                cx, cy, cz = xyzw[:, 0], xyzw[:, 1], xyzw[:, 2]
                 dx = jnp.maximum(jnp.maximum(blo[:, 0] - cx, cx - bhi[:, 0]), 0.0)
                 dy = jnp.maximum(jnp.maximum(blo[:, 1] - cy, cy - bhi[:, 1]), 0.0)
                 dz = jnp.maximum(jnp.maximum(blo[:, 2] - cz, cz - bhi[:, 2]), 0.0)
                 dmin = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-                theta_ok = row[:, WIDTH] < theta * dmin
-                take = theta_ok | (row[:, NO_CHILD] > 0.0)
-                emit = take & ~done
-                # Opened OVERFULL terminal cells (NO_CHILD == 2: max-depth
-                # cell with count > leaf_bucket) exceed the eval pass's
-                # static bucket unroll — defer the whole tile to the
-                # per-particle walk, which direct-sums any count exactly.
-                hit = hit | ((row[:, NO_CHILD] > 1.5) & ~theta_ok & ~done)
-                # far entries: node index; near (opened bucket) entries:
-                # -(node+1), direct-summed in the eval pass; sentinel: cap
-                entry = jnp.where(theta_ok, cur, -(cur + 1))
-                rows.append(jnp.where(emit, entry, cap))
+                theta_ok = xyzw[:, 3] < theta * dmin
+                near = ~theta_ok & (raw[:, 4] > 0)
+                # far: the node's own point-mass row. near: one member
+                # particle row per iteration — the lane stays on the
+                # bucket until all `count` members are emitted (any
+                # count, including overfull max-depth cells: exact).
+                entry = jnp.where(
+                    theta_ok,
+                    cur,
+                    jnp.where(near, member_base + nfirst + koff, cap),
+                )
+                rows.append(jnp.where(done, cap, entry))
                 visits = visits + (~done).astype(jnp.int32)
-                nxt = jnp.where(take, nskip, cur + 1)
+                exhausted = koff + 1 >= ncnt
+                koff = jnp.where(near & ~exhausted & ~done, koff + 1, 0)
+                nxt = jnp.where(
+                    theta_ok | (near & exhausted),
+                    nskip,
+                    jnp.where(near, cur, cur + 1),
+                )
                 cur = jnp.where(done, cur, nxt)
             lists = lax.dynamic_update_slice(
                 lists, jnp.stack(rows, axis=0), (it * unroll, jnp.int32(0))
             )
-            return it + 1, cur, hit, lists, visits
+            return it + 1, cur, koff, lists, visits
 
         lists_b0 = jnp.full((r_cap, ta_blk), cap, jnp.int32)
         visits_b0 = jnp.zeros((ta_blk,), jnp.int32)
-        hit_b0 = jnp.zeros((ta_blk,), bool)
-        _, cur_b, hit_b, lists_b, visits_b = lax.while_loop(
-            cond, body, (jnp.int32(0), cur0, hit_b0, lists_b0, visits_b0)
+        koff_b0 = jnp.zeros((ta_blk,), jnp.int32)
+        _, cur_b, _, lists_b, visits_b = lax.while_loop(
+            cond, body, (jnp.int32(0), cur0, koff_b0, lists_b0, visits_b0)
         )
         bad_all = lax.dynamic_update_slice(
-            bad_all, (cur_b < tree.num_nodes) | hit_b, (t0,)
+            bad_all, cur_b < tree.num_nodes, (t0,)
         )
 
         # ---- fused evaluation of this block's lists ----
         # The block's lists never leave this loop iteration — no global
         # (r_cap, t_cap) array exists at any point (it OOM'd HBM at N=4M).
         # Within the block, tiles are sorted by descending list length so
-        # each t_blk sub-block chunks only to its own max (visit skew is
-        # ~10x; unsorted sub-blocks re-pay the local max everywhere).
+        # each t_blk sub-block chunks only to its own max.
         ord_b = jnp.argsort(-visits_b).astype(jnp.int32)
         lists_bs = jnp.take(lists_b, ord_b, axis=1)
         visits_bs = jnp.take(visits_b, ord_b)
         tiles_bs = jnp.take(
-            lax.dynamic_slice(tiles, (t0, 0, 0), (ta_blk, g, 3)), ord_b, axis=0
+            lax.dynamic_slice(tiles_d, (t0, 0, 0), (ta_blk, g, 3)), ord_b, axis=0
         )
         gid_bs = jnp.take(
-            lax.dynamic_slice(slot_gid, (t0, 0), (ta_blk, g)), ord_b, axis=0
+            lax.dynamic_slice(gid_d, (t0, 0), (ta_blk, g)), ord_b, axis=0
         )
 
         def sub_block(sb, acc_sorted_blk):
@@ -313,72 +359,30 @@ def group_tree_forces(
                 c0, acc = carry
                 idx_c = lax.dynamic_slice(
                     lists_bs, (c0, s0), (chunk, t_blk)
-                ).T  # (TB, C)
-                is_far = (idx_c >= 0) & (idx_c < cap)
-                is_near = idx_c < 0
-                node_ix = jnp.where(
-                    is_near, -idx_c - 1, jnp.where(is_far, idx_c, cap)
-                )
-                rows = jnp.take(
-                    tree.nodes_f32, node_ix.reshape(-1), axis=0
+                ).T  # (TB, C) combined row ids
+                raw = jnp.take(
+                    comb_i32, idx_c.reshape(-1), axis=0
                 ).reshape(t_blk, chunk, 8)
-                # far entries: point-mass evaluation (tree.wgsl:66-67)
+                rows = lax.bitcast_convert_type(raw[:, :, :4], jnp.float32)
+                jcol = raw[:, :, 7]
+                # ONE uniform point-mass pass (tree.wgsl:66-67): node rows
+                # and member rows are both (pos, mass) points; self pairs
+                # (member row index == receiver gid) are excluded exactly
+                # like the naive kernel's i == index skip (naive.wgsl:
+                # 30-32); the sentinel row's zero mass contributes zero.
                 dx = rows[:, None, :, 0] - px  # (TB, G, C)
                 dy = rows[:, None, :, 1] - py
                 dz = rows[:, None, :, 2] - pz
                 r2 = dx * dx + dy * dy + dz * dz
-                far_m = is_far[:, None, :]
-                r2s = jnp.where(far_m, r2, 1.0)
+                is_self = jcol[:, None, :] == blk_gid[:, :, None]
+                r2s = jnp.where(is_self, 1.0, r2)
                 inv_r = lax.rsqrt(r2s)
                 r = r2s * inv_r
-                w = rows[:, None, :, MASS] * gdt * inv_r / (r2s * r + e)
-                w = jnp.where(far_m, w, 0.0)
+                w = rows[:, None, :, 3] * gdt * inv_r / (r2s * r + e)
+                w = jnp.where(is_self, 0.0, w)
                 ax = jnp.sum(w * dx, axis=2)
                 ay = jnp.sum(w * dy, axis=2)
                 az = jnp.sum(w * dz, axis=2)
-
-                # near entries: exact direct sum over the bucket's
-                # particles, self excluded by global index (naive.wgsl:
-                # 30-32 semantics). Gated per chunk: most chunks carry no
-                # near entries and the direct sum costs `bucket` sub-passes
-                # of the chunk shape.
-                def near_sum(args):
-                    ax, ay, az = args
-                    nfirst = jnp.take(
-                        tree.first, node_ix.reshape(-1)
-                    ).reshape(t_blk, chunk)
-                    ncnt = jnp.take(
-                        tree.count, node_ix.reshape(-1)
-                    ).reshape(t_blk, chunk)
-                    for k in range(bucket):
-                        j = jnp.where(
-                            is_near & (k < ncnt), nfirst + k, n_src
-                        )
-                        srow = jnp.take(
-                            src_tbl, j.reshape(-1), axis=0
-                        ).reshape(t_blk, chunk, 4)
-                        sdx = srow[:, None, :, 0] - px
-                        sdy = srow[:, None, :, 1] - py
-                        sdz = srow[:, None, :, 2] - pz
-                        sr2 = sdx * sdx + sdy * sdy + sdz * sdz
-                        ok = (j[:, None, :] != blk_gid[:, :, None]) & (
-                            j[:, None, :] < n_src
-                        )
-                        sr2s = jnp.where(ok, sr2, 1.0)
-                        sinv = lax.rsqrt(sr2s)
-                        sr = sr2s * sinv
-                        sw = srow[:, None, :, 3] * gdt * sinv / (
-                            sr2s * sr + e
-                        )
-                        sw = jnp.where(ok, sw, 0.0)
-                        ax = ax + jnp.sum(sw * sdx, axis=2)
-                        ay = ay + jnp.sum(sw * sdy, axis=2)
-                        az = az + jnp.sum(sw * sdz, axis=2)
-                    return ax, ay, az
-
-                ax, ay, az = lax.cond(
-                    jnp.any(is_near), near_sum, lambda a: a, (ax, ay, az)
-                )
                 return c0 + chunk, acc + jnp.stack([ax, ay, az], axis=2)
 
             acc_blk0 = jnp.zeros((t_blk, g, 3), jnp.float32)
@@ -402,7 +406,7 @@ def group_tree_forces(
         acc_all = lax.dynamic_update_slice(acc_all, acc_unsorted, (t0, 0, 0))
         return acc_all, bad_all
 
-    acc_tiles, tile_bad = lax.fori_loop(
+    acc_tiles_d, tile_bad_d = lax.fori_loop(
         0,
         t_cap // ta_blk,
         walk_block,
@@ -411,6 +415,9 @@ def group_tree_forces(
             jnp.zeros((t_cap,), bool),
         ),
     )
+    # back to Morton tile order
+    acc_tiles = jnp.take(acc_tiles_d, inv_order, axis=0)
+    tile_bad = jnp.take(tile_bad_d, inv_order)
 
     # map back: particle i -> (tile_id[i], slot[i])
     acc = acc_tiles[tile_id, jnp.minimum(slot, g - 1)]  # (N, 3)

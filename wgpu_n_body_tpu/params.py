@@ -78,8 +78,13 @@ class TreeParams:
         singleton leaves (unbounded depth); we use Morton keys at 3*D bits,
         deep enough that real float32 data always separates. Cells still
         multi-body at depth D are treated as terminal point masses.
-      node_capacity_factor: tree arena size = factor * N nodes
-        (reference cap: 4N, src/sims/tree.rs:188-199).
+      node_capacity_factor: tree arena size = factor * N nodes; None
+        (default) resolves to the reference's 4N (src/sims/tree.rs:188-199)
+        for singleton leaves and 2N for bucketed leaves (every non-root
+        node then has a parent run of > leaf_bucket particles, so real
+        trees stay well under N nodes; pathological clustering overflows
+        loudly via TreeArrays.overflowed instead of hanging). Smaller
+        arenas cut build-emission work and walk-table memory.
       leaf_bucket: stop subdividing cells holding <= leaf_bucket
         particles. Buckets that pass the theta test are accepted as point
         masses — exactly what the reference does with the same cell — and
@@ -93,17 +98,30 @@ class TreeParams:
         (reference-exact acceptance pattern).
       walk_tile: particles per tile for the group walk (Morton-adjacent).
       walk_list_cap: static per-tile interaction-list capacity (rounded up
-        to a multiple of 256 internally); tiles that exhaust it defer to
-        the per-particle walk.
+        to a multiple of 256 internally). List rows hold theta-accepted
+        nodes AND expanded members of opened leaf buckets; tiles that
+        exhaust 2x this budget defer to the per-particle walk.
     """
 
     theta: float = 0.75
     max_depth: int = 16
-    node_capacity_factor: int = 4
+    node_capacity_factor: int | None = None
     leaf_bucket: int = 16
     walk: str = "group"
     walk_tile: int = 256
     walk_list_cap: int = 8192
+
+    @property
+    def effective_capacity_factor(self) -> int:
+        """node_capacity_factor with the bucket-aware default resolved."""
+        if self.node_capacity_factor is not None:
+            return self.node_capacity_factor
+        return 4 if self.leaf_bucket == 1 else 2
+
+    def capacity(self, n: int) -> int:
+        """Node-arena size for N particles (reference: 4N octants,
+        src/sims/tree.rs:188-199)."""
+        return self.effective_capacity_factor * n + 1
 
 
 class ParticleState(NamedTuple):
