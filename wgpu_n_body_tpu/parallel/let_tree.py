@@ -1,0 +1,343 @@
+"""Locally-essential-tree (LET) building blocks for the multi-chip
+Barnes-Hut schedule (SURVEY.md §5 "exchange coarse locally-essential
+cells"; the reference's multi-device roadmap, /root/reference/README.md:8).
+
+Each chip owns a contiguous slice of particles, Morton-sorts and builds an
+octree over ONLY its slice (O(N/P) build and memory), then runs one extra
+DFS walk per remote chip with the remote chip's receiver bounding box as
+the acceptance probe:
+
+    width < theta * dmin(remote_bbox, cog)   -> export as TERMINAL point row
+    leaf bucket failing the test            -> export its MEMBER particles
+    internal node failing the test          -> export as INTERNAL row and
+                                               descend (children follow)
+
+Because every receiver tile on the remote chip is contained in that bbox,
+its own dmin is >= the probe's, so every exported terminal row passes the
+remote walk's theta test and is NEVER opened remotely: the export is a
+*pruned subtree* that is theta-valid (at least as accurate as walking the
+full tree) for every receiver on the destination chip.
+
+Emission order is DFS, so pruned skip pointers come from one vectorized
+searchsorted over the emitted original node indices. Exports are
+fixed-size (P, let_cap) buffers exchanged with ONE all_to_all; the
+receiver concatenates [its own arena | P import buffers] into a DFS
+*forest* that the unchanged single-chip walks traverse end-to-end
+(trailing sentinel rows jump straight to the next tree, the arena's
+invalid tail jumps to the first import).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from wgpu_n_body_tpu.ops.tree_build import NO_CHILD, WIDTH, TreeArrays
+
+# emission kinds
+_SENTINEL, _INTERNAL, _TERMINAL, _MEMBER = 0, 1, 2, 3
+
+
+class LetExport(NamedTuple):
+    """Per-destination pruned-subtree buffers (leading axis = P chips).
+
+    nodes: (P, R, 8) f32 node-schema rows; skip/first/count: (P, R) int32
+    (skip local to the buffer; first into the pair particle table);
+    parts: (P, R, 4) f32 member payloads [x y z mass] (zero-mass sentinel
+    on non-member rows); n_rows: (P,) emitted rows; overflow: (P,) bool —
+    the destination's forces from this chip are truncated.
+    """
+
+    nodes: jax.Array
+    skip: jax.Array
+    first: jax.Array
+    count: jax.Array
+    parts: jax.Array
+    n_rows: jax.Array
+    overflow: jax.Array
+
+
+def export_walk(
+    tree: TreeArrays,
+    src_pos: jax.Array,
+    src_mass: jax.Array,
+    bbox_lo: jax.Array,
+    bbox_hi: jax.Array,
+    self_index: jax.Array,
+    theta: float,
+    r_cap: int,
+) -> LetExport:
+    """Emit one pruned subtree per destination bbox (P lockstep lanes).
+
+    bbox_lo/hi: (P, 3) post-drift receiver bounds per chip. The lane for
+    ``self_index`` starts done (a chip walks its own tree in full and
+    receives only an inert sentinel buffer from itself).
+    """
+    p = bbox_lo.shape[0]
+    n_src = src_pos.shape[0]
+
+    node_bits = lax.bitcast_convert_type(tree.nodes_f32, jnp.int32)
+    tbl_walk = jnp.concatenate(
+        [
+            node_bits[:, :3],
+            node_bits[:, WIDTH : WIDTH + 1],
+            tree.nodes_f32[:, NO_CHILD].astype(jnp.int32)[:, None],
+            tree.skip[:, None],
+            tree.first[:, None],
+            tree.count[:, None],
+        ],
+        axis=1,
+    )
+
+    lanes = jnp.arange(p, dtype=jnp.int32)
+    cur0 = jnp.where(lanes == self_index, tree.num_nodes, 0).astype(jnp.int32)
+    unroll = 8
+    iter_cap = r_cap // unroll
+    if r_cap % unroll:
+        raise ValueError(f"let_cap must be a multiple of {unroll}")
+
+    def cond(carry):
+        it, cur, _, _, _, _ = carry
+        return (it < iter_cap) & jnp.any(cur < tree.num_nodes)
+
+    def body(carry):
+        it, cur, koff, keys, kinds, membs = carry
+        k_rows, kd_rows, m_rows = [], [], []
+        for _ in range(unroll):
+            done = cur >= tree.num_nodes
+            raw = jnp.take(tbl_walk, cur, axis=0)  # (P, 8)
+            xyzw = lax.bitcast_convert_type(raw[:, :4], jnp.float32)
+            nskip, nfirst, ncnt = raw[:, 5], raw[:, 6], raw[:, 7]
+            dx = jnp.maximum(
+                jnp.maximum(bbox_lo[:, 0] - xyzw[:, 0], xyzw[:, 0] - bbox_hi[:, 0]),
+                0.0,
+            )
+            dy = jnp.maximum(
+                jnp.maximum(bbox_lo[:, 1] - xyzw[:, 1], xyzw[:, 1] - bbox_hi[:, 1]),
+                0.0,
+            )
+            dz = jnp.maximum(
+                jnp.maximum(bbox_lo[:, 2] - xyzw[:, 2], xyzw[:, 2] - bbox_hi[:, 2]),
+                0.0,
+            )
+            dmin = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            theta_ok = xyzw[:, 3] < theta * dmin
+            near = ~theta_ok & (raw[:, 4] > 0)
+            k_rows.append(jnp.where(done, tree.num_nodes, cur))
+            kd_rows.append(
+                jnp.where(
+                    done,
+                    _SENTINEL,
+                    jnp.where(
+                        theta_ok, _TERMINAL, jnp.where(near, _MEMBER, _INTERNAL)
+                    ),
+                ).astype(jnp.int32)
+            )
+            m_rows.append(jnp.where(near & ~done, nfirst + koff, n_src))
+            exhausted = koff + 1 >= ncnt
+            koff = jnp.where(near & ~exhausted & ~done, koff + 1, 0)
+            nxt = jnp.where(
+                theta_ok | (near & exhausted),
+                nskip,
+                jnp.where(near, cur, cur + 1),
+            )
+            cur = jnp.where(done, cur, nxt)
+        at = (it * unroll, jnp.int32(0))
+        keys = lax.dynamic_update_slice(keys, jnp.stack(k_rows, axis=0), at)
+        kinds = lax.dynamic_update_slice(kinds, jnp.stack(kd_rows, axis=0), at)
+        membs = lax.dynamic_update_slice(membs, jnp.stack(m_rows, axis=0), at)
+        return it + 1, cur, koff, keys, kinds, membs
+
+    keys0 = jnp.full((r_cap, p), tree.num_nodes, jnp.int32)
+    kinds0 = jnp.zeros((r_cap, p), jnp.int32)
+    membs0 = jnp.full((r_cap, p), n_src, jnp.int32)
+    _, cur_end, _, keys, kinds, membs = lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.int32(0),
+            cur0,
+            jnp.zeros((p,), jnp.int32),
+            keys0,
+            kinds0,
+            membs0,
+        ),
+    )
+    overflow = cur_end < tree.num_nodes
+    keys = keys.T  # (P, R)
+    kinds = kinds.T
+    membs = membs.T
+    qq = jnp.arange(r_cap, dtype=jnp.int32)[None, :]
+
+    # ---- payloads ----
+    is_member = kinds == _MEMBER
+    is_internal = kinds == _INTERNAL
+    is_node = (kinds == _TERMINAL) | is_internal
+    n_rows = jnp.sum((kinds != _SENTINEL).astype(jnp.int32), axis=1)
+
+    src4 = jnp.concatenate(
+        [
+            jnp.concatenate([src_pos, jnp.full((1, 3), 1e15, jnp.float32)]),
+            jnp.concatenate([src_mass, jnp.zeros((1,), jnp.float32)])[:, None],
+        ],
+        axis=1,
+    )
+    parts = jnp.take(src4, jnp.where(is_member, membs, n_src), axis=0)  # (P,R,4)
+    nrow = jnp.take(tree.nodes_f32, keys, axis=0)  # (P, R, 8) (clamps)
+
+    # node-schema output rows, column-by-column:
+    #   members -> singleton point rows (width 0, no_child 1, count 1);
+    #   terminals -> original row but count 0 (never opened remotely, by
+    #   the bbox-domination argument in the module docstring);
+    #   internals -> original row with no_child 0;
+    #   sentinels -> inert far row (cog 1e15, zero mass, no_child 1).
+    cogm = jnp.where(
+        is_member[:, :, None],
+        parts,
+        jnp.where(is_node[:, :, None], nrow[:, :, :4], 0.0),
+    )
+    cogm = jnp.where(
+        (kinds == _SENTINEL)[:, :, None],
+        jnp.concatenate(
+            [jnp.full((1, 1, 1), 1e15), jnp.zeros((1, 1, 3))], axis=2
+        ).astype(jnp.float32),
+        cogm,
+    )
+    width = jnp.where(is_node, nrow[:, :, WIDTH], 0.0)
+    single = jnp.where(is_member, 1.0, jnp.where(is_node, nrow[:, :, 5], 0.0))
+    no_child = jnp.where(is_internal, 0.0, 1.0)
+    nodes_out = jnp.concatenate(
+        [
+            cogm,
+            width[:, :, None],
+            single[:, :, None],
+            no_child[:, :, None],
+            jnp.zeros((p, r_cap, 1), jnp.float32),
+        ],
+        axis=2,
+    )
+
+    # pruned skips: internal rows jump past their (pruned) subtree = the
+    # number of emitted rows whose original DFS index precedes the
+    # original skip; all other rows are terminal (next row), and sentinel
+    # rows jump to the buffer end so one hop reaches the next tree.
+    orig_skip = jnp.take(tree.skip, keys)  # (P, R)
+    pruned = jax.vmap(
+        lambda k, s: jnp.searchsorted(k, s, side="left").astype(jnp.int32)
+    )(keys, orig_skip)
+    skip_out = jnp.where(
+        is_internal,
+        pruned,
+        jnp.where(kinds == _SENTINEL, r_cap, qq + 1),
+    ).astype(jnp.int32)
+
+    first_out = jnp.broadcast_to(qq, (p, r_cap)).astype(jnp.int32)
+    count_out = jnp.where(is_member, 1, 0).astype(jnp.int32)
+    return LetExport(
+        nodes=nodes_out,
+        skip=skip_out,
+        first=first_out,
+        count=count_out,
+        parts=parts,
+        n_rows=n_rows,
+        overflow=overflow,
+    )
+
+
+def assemble_forest(
+    tree_l: TreeArrays,
+    imp: LetExport,
+    n_local: int,
+) -> tuple[TreeArrays, int]:
+    """Concatenate [local arena | P import buffers | sentinel] into one
+    walkable DFS forest.
+
+    Returns (forest TreeArrays, particle-table base layout): the caller
+    must evaluate against the concatenated particle table
+    [local sorted particles (n_local) | one zero row | import parts
+    (P*R)], which is exactly how ``first`` columns are rewritten here.
+    """
+    p, r_cap = imp.skip.shape
+    cap_l = tree_l.nodes_f32.shape[0] - 1
+    base = cap_l + 1
+    total = base + p * r_cap
+
+    kk = jnp.arange(cap_l + 1, dtype=jnp.int32)
+    # the arena's invalid tail (>= num_nodes, including the sentinel row)
+    # flows into the first import; valid rows keep their skips
+    skip_local = jnp.where(kk >= tree_l.num_nodes, base, tree_l.skip)
+    offs = base + jnp.arange(p, dtype=jnp.int32) * r_cap  # (P,)
+
+    nodes = jnp.concatenate(
+        [
+            tree_l.nodes_f32,
+            imp.nodes.reshape(p * r_cap, 8),
+            tree_l.nodes_f32[cap_l : cap_l + 1],  # final sentinel row
+        ],
+        axis=0,
+    )
+    skip = jnp.concatenate(
+        [
+            skip_local,
+            (imp.skip + offs[:, None]).reshape(-1),
+            jnp.full((1,), total, jnp.int32),
+        ]
+    )
+    # local leaf ranges already index the local particle table; the
+    # arena's invalid rows point at n_local — the zero row separating
+    # local particles from import payloads. Import rows point at their
+    # own buffer slot in the import region.
+    part_offs = n_local + 1 + jnp.arange(p, dtype=jnp.int32) * r_cap
+    first = jnp.concatenate(
+        [
+            tree_l.first,
+            (imp.first + part_offs[:, None]).reshape(-1),
+            jnp.full((1,), n_local, jnp.int32),
+        ]
+    )
+    count = jnp.concatenate(
+        [tree_l.count, imp.count.reshape(-1), jnp.zeros((1,), jnp.int32)]
+    )
+    forest = TreeArrays(
+        nodes_f32=nodes,
+        skip=skip,
+        first=first,
+        count=count,
+        num_nodes=jnp.int32(total),
+        root_width=tree_l.root_width,
+        overflowed=tree_l.overflowed | jnp.any(imp.overflow),
+    )
+    return forest, total
+
+
+def let_memory_bytes(
+    n: int, p: int, tp, let_cap: int = 8192, walk_list_rows: int | None = None
+) -> dict:
+    """Per-chip LIVE bytes of the LET schedule's dominant arrays at N
+    particles over P chips — the scalability budget (BASELINE config 4:
+    N=32M on v5e-8 with 16 GB HBM/chip). Transient build scans add
+    ~(depth+1) * n_l * 16 B, still O(N/P).
+    """
+    n_l = n // p
+    cap_l = tp.capacity(n_l)
+    r = let_cap
+    g = tp.walk_tile
+    t_cap = -(-n_l // g) + max(8, 2 * -(-n_l // g))
+    rows = walk_list_rows or (-(-(2 * tp.walk_list_cap) // 256) * 256)
+    ta_blk = min(2048, t_cap)
+    sizes = {
+        # two generations of SoA state (donated ping-pong)
+        "state": 2 * n_l * 40,
+        "local_arena": (cap_l + 1) * (32 + 12),  # nodes_f32 + skip/first/count
+        "forest": (cap_l + 1 + p * r + 1) * (32 + 12),
+        "export_import": 2 * p * r * (32 + 12 + 16),  # exports + imports
+        "eval_table": (cap_l + 1 + p * r + 1 + n_l + 1 + p * r) * 32,
+        "tiles": t_cap * g * 3 * 4 + t_cap * g * 4,  # tile pos + gid
+        "phase_a_lists": rows * ta_blk * 4,
+        "acc_tiles": t_cap * g * 3 * 4,
+    }
+    sizes["total"] = sum(sizes.values())
+    return sizes

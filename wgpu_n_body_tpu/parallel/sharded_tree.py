@@ -1,22 +1,34 @@
-"""Multi-chip Barnes-Hut via shard_map.
+"""Multi-chip Barnes-Hut via shard_map. Two schedules:
 
-v1 schedule ("replicated tree"): one tiled all_gather of the (old) state
-per step; every chip runs the same deterministic Morton sort + octree
-build, then walks only its 1/P slice of the *sorted* receiver axis and
-outputs that slice. The walk — the dominant cost — scales with P; the
-build is replicated (its cost is the single-chip build, independent of P).
-Memory per chip is O(N), matching the reference's single-GPU budget.
+"replicated" (v1): one tiled all_gather of (pos, vel_h, mass) per step;
+every chip runs the same deterministic Morton sort + octree build, then
+walks only its 1/P slice of the *sorted* receiver axis. The walk — the
+dominant cost — scales with P; the build is replicated and memory per
+chip is O(N), matching the reference's single-GPU budget.
 
-Like single-chip TreeSim (and the reference), particles are reordered
-every step; the sharded output is the globally Morton-sorted state split
-evenly over chips, so chips own contiguous Morton ranges — exactly the
-layout a future locally-essential-tree schedule (exchange coarse cells
-instead of particles, SURVEY.md §5) needs.
+"let" (v2, the scalable one): chips keep their own particle slices.
+Each chip Morton-sorts LOCALLY (against a pmax-global bound so cells
+align), builds an octree over only its slice — O(N/P) build and memory —
+and exchanges *locally-essential* pruned subtrees (parallel/let_tree.py):
+one bbox-probed DFS export walk per destination, one all_to_all, then the
+unchanged single-chip walks traverse the concatenated forest of
+[local tree | P imports]. Per-chip memory is O(N/P + P*let_cap):
+N=32M on a v5e-8 fits in ~2 GB/chip of live state (see
+tests/test_let.py::test_let_memory_budget_32m), where the replicated
+schedule needs the full O(N) ~ 10+ GB.
+
+Particle ownership under "let" is static (no migration): chips keep the
+slice they were given. The physics stays theta-correct under any drift —
+export cuts are probed against the destinations' ACTUAL per-step receiver
+bboxes — but export sizes grow as ownership regions start to overlap, so
+long runs should periodically re-shard (e.g. gather + sort + re-slice at
+checkpoint cadence). Like the reference and single-chip TreeSim,
+particles are reordered every step (here: within each chip's slice).
 
 fp note: per-particle forces are identical to single-chip for the
-"per_particle" walk; the "group" walk tiles each chip's slice separately,
-so conservative acceptance sets (and the fp error of the approximation)
-can differ slightly at slice boundaries.
+"per_particle" walk under "replicated"; the "group" walk tiles each
+chip's slice separately, and "let" changes far-field cell aggregation
+boundaries, so results differ from single-chip within theta error.
 """
 
 from __future__ import annotations
@@ -28,10 +40,16 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from wgpu_n_body_tpu.models.base import Simulator, StepFn
+from wgpu_n_body_tpu.ops import morton
 from wgpu_n_body_tpu.ops.tree_build import build_tree, morton_order
 from wgpu_n_body_tpu.ops.tree_walk import tree_forces
 from wgpu_n_body_tpu.ops.tree_walk_group import group_tree_forces
 from wgpu_n_body_tpu.params import ParticleState, SimParams, TreeParams
+from wgpu_n_body_tpu.parallel.let_tree import (
+    LetExport,
+    assemble_forest,
+    export_walk,
+)
 from wgpu_n_body_tpu.parallel.mesh import PARTICLE_AXIS, state_sharding
 
 
@@ -40,10 +58,78 @@ def make_sharded_tree_step(
     mesh: Mesh,
     tp: TreeParams | None = None,
     donate: bool = True,
+    schedule: str = "replicated",
+    let_cap: int = 8192,
 ) -> StepFn:
     tp = tp or TreeParams()
     p_size = mesh.shape[PARTICLE_AXIS]
     spec = P(PARTICLE_AXIS)
+    if schedule not in ("replicated", "let"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+
+    def step_shard_let(pos, vel, acc, mass):
+        n_local = pos.shape[0]
+        half = params.dt / 2.0
+        vel_h = vel + acc * half
+        # LOCAL Morton sort against the pmax-GLOBAL bound so cell widths
+        # and prefixes agree across chips (tree.rs:424-451 semantics,
+        # reduced over the whole system).
+        bound = lax.pmax(
+            jnp.maximum(1.0, jnp.max(jnp.abs(pos))), PARTICLE_AXIS
+        )
+        cell = morton.quantize(pos, bound, tp.max_depth)
+        hi, lo = morton.morton_keys(cell, tp.max_depth)
+        idx = jnp.arange(n_local, dtype=jnp.int32)
+        hi_s, lo_s, perm = lax.sort((hi, lo, idx), num_keys=2)
+        keys = (hi_s, lo_s)
+        pos_s = jnp.take(pos, perm, axis=0)
+        mass_s = jnp.take(mass, perm)
+        velh_s = jnp.take(vel_h, perm, axis=0)
+        tree_l = build_tree(
+            ParticleState(pos=pos_s, vel=pos_s, acc=pos_s, mass=mass_s),
+            keys, bound, tp,
+        )
+        pos_new = pos_s + velh_s * params.dt
+
+        # per-chip post-drift receiver bboxes -> pruned-subtree exports
+        blo = lax.all_gather(jnp.min(pos_new, axis=0), PARTICLE_AXIS)
+        bhi = lax.all_gather(jnp.max(pos_new, axis=0), PARTICLE_AXIS)
+        my = lax.axis_index(PARTICLE_AXIS)
+        exp = export_walk(
+            tree_l, pos_s, mass_s, blo, bhi, my, tp.theta, let_cap
+        )
+        imp = LetExport(
+            *(
+                lax.all_to_all(x, PARTICLE_AXIS, 0, 0)
+                for x in exp
+            )
+        )
+        forest, _ = assemble_forest(tree_l, imp, n_local)
+        src_pos_cat = jnp.concatenate(
+            [
+                pos_s,
+                jnp.full((1, 3), 1e15, jnp.float32),
+                imp.parts[:, :, :3].reshape(-1, 3),
+            ]
+        )
+        src_mass_cat = jnp.concatenate(
+            [
+                mass_s,
+                jnp.zeros((1,), jnp.float32),
+                imp.parts[:, :, 3].reshape(-1),
+            ]
+        )
+        if tp.walk == "group":
+            acc_new, _stats = group_tree_forces(
+                pos_new, src_pos_cat, src_mass_cat, forest, keys, params, tp
+            )
+        else:
+            acc_new = tree_forces(
+                pos_new, src_pos_cat, src_mass_cat, forest, params, tp,
+                self_idx=idx,
+            )
+        vel_new = velh_s + acc_new * half
+        return pos_new, vel_new, acc_new, mass_s
 
     def step_shard(pos, vel, acc, mass):
         n_local = pos.shape[0]
@@ -96,7 +182,7 @@ def make_sharded_tree_step(
         return pos_new, vel_new, acc_new, mass_l
 
     sharded = shard_map(
-        step_shard,
+        step_shard_let if schedule == "let" else step_shard,
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=(spec, spec, spec, spec),
@@ -111,24 +197,34 @@ def make_sharded_tree_step(
 
 
 class ShardedTreeSim(Simulator):
-    """Multi-chip TreeSim (replicated build, sharded walk)."""
+    """Multi-chip TreeSim.
+
+    schedule="replicated": replicated build, sharded walk, O(N)/chip.
+    schedule="let": local build + locally-essential-subtree exchange,
+    O(N/P)/chip — the scalable configuration (N=32M on a v5e-8).
+    """
 
     def __init__(
         self,
         sim_params: SimParams,
         mesh: Mesh,
         add_params: TreeParams | None = None,
+        schedule: str = "replicated",
+        let_cap: int = 8192,
     ):
         super().__init__(sim_params)
         self.mesh = mesh
         self.add_params = add_params or TreeParams()
+        self.schedule = schedule
+        self.let_cap = let_cap
 
     def step_fn(self) -> StepFn:
         raise NotImplementedError("use make_step (shard_map requires jit)")
 
     def make_step(self, donate: bool = True) -> StepFn:
         return make_sharded_tree_step(
-            self.sim_params, self.mesh, self.add_params, donate
+            self.sim_params, self.mesh, self.add_params, donate,
+            schedule=self.schedule, let_cap=self.let_cap,
         )
 
     def init_state(self, key, init_fn) -> ParticleState:
