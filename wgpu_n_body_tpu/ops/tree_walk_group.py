@@ -61,6 +61,12 @@ class GroupWalkStats(NamedTuple):
     deferred: jax.Array  # () int32: particles sent down the fallback walk
 
 
+# Internal instrumentation: when True, phase B evaluation is skipped
+# (forces come out zero) so profiling scripts can attribute walk time to
+# traversal vs evaluation. Never set in production paths.
+_DEBUG_SKIP_EVAL = False
+
+
 def _tile_assignment(keys, n, depth, g_tile):
     """Split the sorted particle axis into density-adaptive pieces.
 
@@ -343,6 +349,10 @@ def group_tree_forces(
         )
 
         def sub_block(sb, acc_sorted_blk):
+            if _DEBUG_SKIP_EVAL:  # profiling-only: traversal cost alone
+                return acc_sorted_blk + jnp.float32(1e-30) * jnp.sum(
+                    lists_bs
+                ).astype(jnp.float32)
             s0 = sb * t_blk
             blk_tiles = lax.dynamic_slice(tiles_bs, (s0, 0, 0), (t_blk, g, 3))
             blk_gid = lax.dynamic_slice(gid_bs, (s0, 0), (t_blk, g))
