@@ -23,11 +23,11 @@ def _state(key, n):
     )
 
 
-def _forces(st, theta, n, tile=32, l_cap=2048, bucket=16):
+def _forces(st, theta, n, tile=32, l_cap=2048, bucket=16, engine="skip"):
     params = SimParams(particle_num=n, g=1e-3)
     tp = TreeParams(
         theta=theta, max_depth=10, walk_tile=tile, walk_list_cap=l_cap,
-        leaf_bucket=bucket,
+        leaf_bucket=bucket, walk_engine=engine,
     )
     ss, bound, keys = morton_sort(st, tp.max_depth)
     tree = build_tree(ss, keys, bound, tp)
@@ -47,6 +47,22 @@ def test_group_theta_zero_equals_naive():
         )
         np.testing.assert_allclose(grp, exact, rtol=2e-4, atol=1e-8)
         np.testing.assert_allclose(per, exact, rtol=2e-4, atol=1e-8)
+
+
+def test_octet_engine_matches_skip_engine():
+    """The octet phase-A engine opens the same conservative node set as
+    the skip engine, so both are exact at theta=0 and track the oracle at
+    theta=0.75; bucket=1 exercises singleton leaves, bucket=4 member runs."""
+    n = 300
+    st = _state(jax.random.key(7), n)
+    for bucket in (1, 4, 16):
+        grp0, _, exact, d0 = _forces(st, 0.0, n, bucket=bucket, engine="octet")
+        np.testing.assert_allclose(grp0, exact, rtol=2e-4, atol=1e-8)
+        assert d0 == 0
+    grp, _, exact, d = _forces(st, 0.75, n, engine="octet")
+    scale = np.linalg.norm(exact, axis=1).mean()
+    assert d == 0
+    assert np.abs(grp - exact).mean() / scale < 0.03
 
 
 def test_group_at_least_as_accurate_as_per_particle():

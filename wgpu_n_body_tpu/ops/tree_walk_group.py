@@ -13,19 +13,36 @@ reference's workgroup-of-64 dispatch, sims/mod.rs:7):
            — naive fixed-count tiles can straddle a Morton discontinuity,
            get a domain-sized bbox, and degenerate to visiting the whole
            tree.
-  phase A  every tile walks the DFS arena once with a *conservative*
+  phase A  every tile traverses the tree once with a *conservative*
            acceptance test against its bbox: accept node iff
            width < theta * dmin(bbox, cog). theta-accepted nodes enter the
            tile's interaction list as point-mass rows; opened leaf buckets
-           are EXPANDED — the lane stays on the bucket for `count`
-           iterations, emitting each member particle as its own point row
-           (r1 instead emitted one bucket entry that the eval pass
-           direct-summed with leaf_bucket sub-passes gated per chunk;
-           near entries are interleaved through every chunk, so nearly
-           every chunk paid bucket x the full chunk math — measured 80%
-           of the walk). Tiles are processed in DENSITY order (deepest
-           adaptive cell first): lockstep visit counts within a block then
-           match, where Morton-block order wasted ~8x on mixed blocks.
+           are EXPANDED into one member point row per particle. Two
+           traversal engines produce identical lists:
+
+           octet engine (default, needs TreeArrays.octets): XLA row
+           gathers on TPU are LATENCY bound (~30 us per dependent step at
+           any practical width, ~3-9 ns marginal per row), so the cost
+           driver is the number of lockstep steps, not gathered bytes.
+           Each step therefore gathers one *opened* node's octet row and
+           theta-tests all 8 children at once, emitting up to 8 accepted
+           point rows; opened-leaf member runs (Morton-adjacent leaf
+           children merge into one contiguous particle range) stream 8
+           member rows per step. Descent uses a (depth)-deep per-lane
+           stack of resume items updated with select chains (at most ONE
+           push per step: the parent is re-visited with a processed-
+           children mask to pick up its next open/member child, a
+           re-gather being far cheaper than multi-item pushes). Measured
+           3.7x fewer lockstep steps than the skip-pointer engine at
+           N=1M disc (host sim: 7.7k vs 29k).
+
+           skip engine (fallback for octet-less trees — LET forests,
+           host-built oracles): the stackless skip-pointer walk, one node
+           visit per step, opened buckets expanded one member per step.
+
+           Tiles are processed in DENSITY order (deepest adaptive cell
+           first): lockstep visit counts within a block then match, where
+           Morton-block order wasted ~8x on mixed blocks.
   phase B  dense evaluation: each tile's particles against its list in
            (G x chunk) VPU blocks with ONE uniform point-mass formula
            (tree.wgsl:66-67) — node rows and member rows read from one
@@ -52,7 +69,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from wgpu_n_body_tpu.ops import morton, scan
-from wgpu_n_body_tpu.ops.tree_build import NO_CHILD, WIDTH, TreeArrays
+from wgpu_n_body_tpu.ops.tree_build import (
+    NO_CHILD,
+    OCTET_CHILD_COLS,
+    WIDTH,
+    TreeArrays,
+)
 from wgpu_n_body_tpu.ops.tree_walk import tree_forces
 from wgpu_n_body_tpu.params import SimParams, TreeParams
 
@@ -246,8 +268,8 @@ def group_tree_forces(
     )
 
     # ---- phase A: tile traversals -> interaction lists ----
-    # Emission is ITERATION-indexed: traversal step k writes row k of an
-    # (R, TA) array with one in-place dynamic_update_slice per unrolled
+    # Emission is ITERATION-indexed: traversal step k writes row block k of
+    # an (R, TA) array with one in-place dynamic_update_slice per unrolled
     # step group. Scatter-based per-tile append (at[slot].set on a carried
     # multi-MB array) copies the whole array every iteration on TPU —
     # measured 63 us/iter vs ~20 us for the in-place row write. Rows where
@@ -255,14 +277,25 @@ def group_tree_forces(
     # phase-B lanes.
     # The iteration budget IS the list capacity: overflow cannot happen;
     # tiles not finished within R rows are deferred to the fallback.
-    unroll = 16
-    # rows: multiple of 256 so the eval chunk (min(256, r_cap)) always
-    # divides it and unroll (16) always divides the chunk
-    r_cap = -(-(2 * l_cap) // 256) * 256
-    iter_cap = r_cap // unroll
+    use_octet = tree.octets is not None
+    k_slots = 8  # octet engine: emission rows per step
+    if use_octet:
+        # The octet body is ~450 elementwise ops per step: unrolling 8
+        # steps amortizes TPU while-iteration overhead, but LLVM (the XLA
+        # *CPU* backend) takes >9 min on the 8x body — tests and the
+        # multichip dryrun run on CPU, so unroll shallow there.
+        unroll = 8 if jax.default_backend() == "tpu" else 1
+        # steps emit k_slots rows each (~50% slot occupancy vs ~55% row
+        # occupancy for the skip engine), so the octet row budget is 2x
+        r_cap = -(-(4 * l_cap) // 256) * 256
+        iter_cap = (r_cap - k_slots) // (unroll * k_slots)
+    else:
+        unroll = 16
+        # rows: multiple of 256 so the eval chunk (min(256, r_cap)) always
+        # divides it and unroll (16) always divides the chunk
+        r_cap = -(-(2 * l_cap) // 256) * 256
+        iter_cap = r_cap // unroll
 
-    # empty tiles start done
-    cur_init = jnp.where(piece_len_d > 0, 0, tree.num_nodes).astype(jnp.int32)
     chunk = min(256, r_cap)
     if r_cap % chunk or t_cap % t_blk or ta_blk % t_blk:
         raise ValueError(
@@ -271,11 +304,11 @@ def group_tree_forces(
             f"ta_blk={ta_blk}"
         )
 
-    def walk_block(b, carry):
-        acc_all, bad_all = carry
-        t0 = b * ta_blk
-        blo = lax.dynamic_slice(bbox_lo_d, (t0, 0), (ta_blk, 3))
-        bhi = lax.dynamic_slice(bbox_hi_d, (t0, 0), (ta_blk, 3))
+    # empty tiles start done
+    cur_init = jnp.where(piece_len_d > 0, 0, tree.num_nodes).astype(jnp.int32)
+
+    def phase_a_skip(t0, blo, bhi):
+        """Skip-pointer engine: one node visit per lockstep step."""
         cur0 = lax.dynamic_slice(cur_init, (t0,), (ta_blk,))
 
         def cond(carry):
@@ -329,9 +362,233 @@ def group_tree_forces(
         _, cur_b, _, lists_b, visits_b = lax.while_loop(
             cond, body, (jnp.int32(0), cur0, koff_b0, lists_b0, visits_b0)
         )
-        bad_all = lax.dynamic_update_slice(
-            bad_all, cur_b < tree.num_nodes, (t0,)
+        return lists_b, visits_b, cur_b < tree.num_nodes
+
+    def phase_a_octet(t0, blo, bhi):
+        """Octet engine: one *opened* node (8 child tests) per step.
+
+        Per-lane item registers: kind (0 idle / 1 open / 2 members),
+        ia (octet ptr | member first), ib (node first | members left),
+        im (processed-children bitmask for resumed opens), iw (node
+        width, f32). The resume stack holds one item per tree level
+        (only descents push; the parent is re-entered with its mask to
+        find the next open/member child), so S = max_depth + margin
+        bounds it and overflow marks the lane deferred.
+        """
+        s_cap = depth + 4
+        octets = tree.octets
+        active0 = lax.dynamic_slice(piece_len_d, (t0,), (ta_blk,)) > 0
+        # root classification (vector over lanes, outside the loop): the
+        # root is the only node that is nobody's octet child.
+        r_row = tree.nodes_f32[0]
+        rdx = jnp.maximum(jnp.maximum(blo[:, 0] - r_row[0], r_row[0] - bhi[:, 0]), 0.0)
+        rdy = jnp.maximum(jnp.maximum(blo[:, 1] - r_row[1], r_row[1] - bhi[:, 1]), 0.0)
+        rdz = jnp.maximum(jnp.maximum(blo[:, 2] - r_row[2], r_row[2] - bhi[:, 2]), 0.0)
+        r_acc = r_row[WIDTH] < theta * jnp.sqrt(rdx * rdx + rdy * rdy + rdz * rdz)
+        r_term = r_row[NO_CHILD] > 0.0
+        kind0 = jnp.where(
+            active0, jnp.where(r_acc, 0, jnp.where(r_term, 2, 1)), 0
+        ).astype(jnp.int32)
+        ia0 = jnp.where(kind0 == 2, tree.first[0], 0)
+        ib0 = jnp.where(kind0 == 2, tree.count[0], tree.first[0])
+        im0 = jnp.zeros((ta_blk,), jnp.int32)
+        iw0 = jnp.broadcast_to(r_row[WIDTH], (ta_blk,))
+        lists0 = jnp.full((r_cap, ta_blk), cap, jnp.int32)
+        lists0 = lax.dynamic_update_slice(
+            lists0,
+            jnp.where(active0 & r_acc, 0, cap)[None, :],
+            (0, jnp.int32(0)),
         )
+        nrows0 = jnp.where(active0, k_slots, 0)
+
+        def cond(carry):
+            it, kind = carry[0], carry[1]
+            return (it < iter_cap) & jnp.any(kind > 0)
+
+        def body(carry):
+            # The body is written as ELEMENTWISE (TA,)-shaped select chains
+            # (python-unrolled over the 8 child slots and the stack depth)
+            # on purpose: cross-slot reductions/one-hots (cumsum, argmax,
+            # axis sums) each become their own TPU kernel inside the while
+            # body, and the resulting launch storm measured ~100 us/step —
+            # the elementwise form fuses into a handful of kernels.
+            (it, kind, ia, ib, im, iw, sp, sk, sa, sb, sm, sw, lists,
+             nrows, bad) = carry
+            step_rows = []
+            for _ in range(unroll):
+                is_open = kind == 1
+                is_mem = kind == 2
+                act = kind > 0
+                ptr = jnp.where(is_open, ia, 0)
+                raw = jnp.take(octets, ptr, axis=0)  # (TA, 40) int32
+                cw = iw * 0.5
+                cid, ccnt, exists, cterm, cacc, cmem_l = [], [], [], [], [], []
+                cfirst = []
+                running = ib
+                for c in range(8):
+                    o = c * OCTET_CHILD_COLS
+                    cx = lax.bitcast_convert_type(raw[:, o + 0], jnp.float32)
+                    cy = lax.bitcast_convert_type(raw[:, o + 1], jnp.float32)
+                    cz = lax.bitcast_convert_type(raw[:, o + 2], jnp.float32)
+                    aux = raw[:, o + 4]
+                    ex = (aux & 1) == 1
+                    cnt = aux >> 2
+                    dx = jnp.maximum(jnp.maximum(blo[:, 0] - cx, cx - bhi[:, 0]), 0.0)
+                    dy = jnp.maximum(jnp.maximum(blo[:, 1] - cy, cy - bhi[:, 1]), 0.0)
+                    dz = jnp.maximum(jnp.maximum(blo[:, 2] - cz, cz - bhi[:, 2]), 0.0)
+                    dmin = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                    procd = ((im >> c) & 1) == 1
+                    acc_c = ex & (cw < theta * dmin)
+                    term_c = (aux & 2) == 2
+                    cid.append(raw[:, o + 3])
+                    ccnt.append(cnt)
+                    exists.append(ex)
+                    cterm.append(term_c)
+                    cacc.append(acc_c)
+                    cmem_l.append(ex & ~acc_c & term_c & ~procd)
+                    cfirst.append(running)
+                    running = running + cnt
+                    if c == 0:
+                        emit_l = [acc_c & ~procd]
+                        copen_l = [ex & ~acc_c & ~term_c & ~procd]
+                    else:
+                        emit_l.append(acc_c & ~procd)
+                        copen_l.append(ex & ~acc_c & ~term_c & ~procd)
+                # maximal runs of adjacent member children merge into one
+                # contiguous particle range (children partition the parent
+                # run in slot = Morton order)
+                run_start = [cmem_l[0]] + [
+                    cmem_l[c] & ~cmem_l[c - 1] for c in range(1, 8)
+                ]
+                run_tot = [None] * 8
+                run_msk = [None] * 8
+                run_tot[7] = ccnt[7]
+                run_msk[7] = jnp.where(cmem_l[7], jnp.int32(128), 0)
+                for c in range(6, -1, -1):
+                    nxt_in = cmem_l[c + 1]
+                    run_tot[c] = ccnt[c] + jnp.where(nxt_in, run_tot[c + 1], 0)
+                    run_msk[c] = jnp.int32(1 << c) | jnp.where(
+                        nxt_in, run_msk[c + 1], 0
+                    )
+                # emission at natural slot positions (slots are fixed
+                # K-wide, so compaction would buy nothing); member lanes
+                # stream K contiguous ids
+                open_lane = act & is_open
+                mem_lane = act & is_mem
+                for k in range(k_slots):
+                    row_k = jnp.where(
+                        open_lane & emit_l[k],
+                        cid[k],
+                        jnp.where(
+                            mem_lane & (k < ib), member_base + ia + k, cap
+                        ),
+                    )
+                    step_rows.append(row_k)
+                # next open/member child = lowest candidate slot, via a
+                # descending select chain
+                n_kind = jnp.zeros((ta_blk,), jnp.int32)
+                n_a = jnp.zeros((ta_blk,), jnp.int32)
+                n_b = jnp.zeros((ta_blk,), jnp.int32)
+                n_bits = jnp.zeros((ta_blk,), jnp.int32)
+                any_cand = jnp.zeros((ta_blk,), bool)
+                n_cand = jnp.zeros((ta_blk,), jnp.int32)
+                done_bits = jnp.zeros((ta_blk,), jnp.int32)
+                for c in range(7, -1, -1):
+                    sel = copen_l[c] | (cmem_l[c] & run_start[c])
+                    opn = copen_l[c]
+                    n_kind = jnp.where(sel, jnp.where(opn, 1, 2), n_kind)
+                    n_a = jnp.where(sel, jnp.where(opn, cid[c], cfirst[c]), n_a)
+                    n_b = jnp.where(sel, jnp.where(opn, cfirst[c], run_tot[c]), n_b)
+                    n_bits = jnp.where(
+                        sel, jnp.where(opn, jnp.int32(1 << c), run_msk[c]), n_bits
+                    )
+                    any_cand = any_cand | sel
+                    n_cand = n_cand + sel
+                    done_bits = done_bits | jnp.where(
+                        ~exists[c] | cacc[c], jnp.int32(1 << c), 0
+                    )
+                resume_mask = im | done_bits | n_bits
+                cont = mem_lane & (ib > k_slots)
+                descend = open_lane & any_cand
+                push = descend & (n_cand > 1)
+                pop = act & ~cont & ~descend & (sp > 0)
+                overflow = push & (sp >= s_cap)
+                push = push & ~overflow
+                # single-slot stack write (push) + top read (pop): the
+                # write is one fused where per register over the (S, TA)
+                # stack; the read is an unrolled select chain (elementwise,
+                # so it fuses — an axis-0 reduction would not)
+                p_k = jnp.zeros((ta_blk,), jnp.int32)
+                p_a = jnp.zeros((ta_blk,), jnp.int32)
+                p_b = jnp.zeros((ta_blk,), jnp.int32)
+                p_m = jnp.zeros((ta_blk,), jnp.int32)
+                p_w = jnp.zeros((ta_blk,), jnp.float32)
+                for d in range(s_cap):
+                    rsel = sp == d + 1
+                    p_k = jnp.where(rsel, sk[d], p_k)
+                    p_a = jnp.where(rsel, sa[d], p_a)
+                    p_b = jnp.where(rsel, sb[d], p_b)
+                    p_m = jnp.where(rsel, sm[d], p_m)
+                    p_w = jnp.where(rsel, sw[d], p_w)
+                dd = jnp.arange(s_cap, dtype=jnp.int32)[:, None]
+                wsel = push[None, :] & (sp[None, :] == dd)
+                sk = jnp.where(wsel, 1, sk)
+                sa = jnp.where(wsel, ia[None, :], sa)
+                sb = jnp.where(wsel, ib[None, :], sb)
+                sm = jnp.where(wsel, resume_mask[None, :], sm)
+                sw = jnp.where(wsel, iw[None, :], sw)
+                sp = sp + push.astype(jnp.int32) - pop.astype(jnp.int32)
+                kind = jnp.where(
+                    cont, 2, jnp.where(descend, n_kind, jnp.where(pop, p_k, 0))
+                )
+                ia = jnp.where(
+                    cont,
+                    ia + k_slots,
+                    jnp.where(descend, n_a, jnp.where(pop, p_a, 0)),
+                )
+                ib = jnp.where(
+                    cont,
+                    ib - k_slots,
+                    jnp.where(descend, n_b, jnp.where(pop, p_b, 0)),
+                )
+                im = jnp.where(
+                    cont, 0, jnp.where(descend, 0, jnp.where(pop, p_m, 0))
+                )
+                iw = jnp.where(
+                    cont, iw, jnp.where(descend, cw, jnp.where(pop, p_w, 0.0))
+                )
+                kind = jnp.where(overflow, 0, kind)
+                bad = bad | overflow
+                nrows = nrows + jnp.where(act, k_slots, 0)
+            lists = lax.dynamic_update_slice(
+                lists,
+                jnp.stack(step_rows, axis=0),
+                (k_slots + it * unroll * k_slots, jnp.int32(0)),
+            )
+            return (it + 1, kind, ia, ib, im, iw, sp, sk, sa, sb, sm, sw,
+                    lists, nrows, bad)
+
+        zi = jnp.zeros((s_cap, ta_blk), jnp.int32)
+        carry0 = (
+            jnp.int32(0), kind0, ia0, ib0, im0, iw0,
+            jnp.zeros((ta_blk,), jnp.int32), zi, zi, zi, zi,
+            jnp.zeros((s_cap, ta_blk), jnp.float32),
+            lists0, nrows0, jnp.zeros((ta_blk,), bool),
+        )
+        out = lax.while_loop(cond, body, carry0)
+        kind_end, lists_b, nrows_b, bad_b = out[1], out[12], out[13], out[14]
+        return lists_b, nrows_b, bad_b | (kind_end > 0)
+
+    def walk_block(b, carry):
+        acc_all, bad_all = carry
+        t0 = b * ta_blk
+        blo = lax.dynamic_slice(bbox_lo_d, (t0, 0), (ta_blk, 3))
+        bhi = lax.dynamic_slice(bbox_hi_d, (t0, 0), (ta_blk, 3))
+        if use_octet:
+            lists_b, visits_b, bad_b = phase_a_octet(t0, blo, bhi)
+        else:
+            lists_b, visits_b, bad_b = phase_a_skip(t0, blo, bhi)
+        bad_all = lax.dynamic_update_slice(bad_all, bad_b, (t0,))
 
         # ---- fused evaluation of this block's lists ----
         # The block's lists never leave this loop iteration — no global

@@ -101,6 +101,10 @@ class TreeParams:
         to a multiple of 256 internally). List rows hold theta-accepted
         nodes AND expanded members of opened leaf buckets; tiles that
         exhaust 2x this budget defer to the per-particle walk.
+      walk_engine: phase-A traversal engine for the group walk. "skip" =
+        stackless skip-pointer walk (one node visit per lockstep step).
+        "octet" = child-block walk (one *opened* node per step, 8 child
+        tests per gather; needs the octet table the build then emits).
     """
 
     theta: float = 0.75
@@ -110,6 +114,7 @@ class TreeParams:
     walk: str = "group"
     walk_tile: int = 256
     walk_list_cap: int = 8192
+    walk_engine: str = "skip"
 
     @property
     def effective_capacity_factor(self) -> int:
