@@ -39,6 +39,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from wgpu_n_body_tpu.ops import morton, scan
 from wgpu_n_body_tpu.params import ParticleState, TreeParams
@@ -65,17 +66,24 @@ class TreeArrays(NamedTuple):
     overflowed: () bool — the unclamped node count exceeded cap; forces
                 from this tree are truncated and the tree must be rebuilt
                 with a larger node_capacity_factor (or bigger leaf_bucket).
-    octets:     (cap+1, 40) int32 or None — per-node row describing its
-                (up to 8) children, slot c (= the child's Morton octant)
-                at cols [5c, 5c+5): [cog x bits, cog y bits, cog z bits,
-                child node id, aux] with aux = count << 2 | terminal << 1
-                | 1; aux == 0 marks an absent child. One row gather hands
-                the group walk all eight child theta-tests at once — the
-                traversal is gather-LATENCY bound on TPU (~30 us/step at
-                any practical width), so visiting one *opened* node per
-                step instead of one node beats the skip-pointer walk ~4x.
-                None for hand-assembled trees (LET forests, host oracle);
-                walks then use the skip-pointer phase A.
+    octets:     (octet_capacity, 24) int32 or None — one row per INTERNAL
+                node (compact index = rank among internal nodes in DFS
+                order; the root is rank 0 when internal), holding its
+                children in compact slot order (= ascending Morton
+                octant), 3 cols per child — see the packing comment in
+                build_tree. One row gather hands the group walk all eight
+                child theta-tests at once; TPU row-gather cost scales
+                with table width x size, hence the compact rows and
+                packed columns. None for hand-assembled trees (LET
+                forests, host oracle); walks then use the skip-pointer
+                phase A.
+    octet_pts:  (octet_capacity*8 + 2, 8) int32 or None — comb-table
+                point rows matched to octets: row ptr*8 + slot is that
+                child's [cog xyz bits, mass bits, 0,0,0, -1], followed by
+                the root's row and an inert far sentinel. The group
+                walk's phase B gathers these by the list entries the
+                octet engine emits (ptr*8 + slot), so no node-id column
+                is needed anywhere.
 
     ``NO_CHILD`` column is 3-state: 0 = internal, 1 = terminal cell whose
     count fits leaf_bucket (direct-summable), 2 = terminal cell at
@@ -92,9 +100,10 @@ class TreeArrays(NamedTuple):
     root_width: jax.Array
     overflowed: jax.Array
     octets: jax.Array | None = None
+    octet_pts: jax.Array | None = None
 
 
-OCTET_CHILD_COLS = 5  # per-child columns in TreeArrays.octets
+OCTET_CHILD_COLS = 3  # per-child columns in TreeArrays.octets
 
 
 def morton_order(pos: jax.Array, depth: int):
@@ -253,13 +262,27 @@ def build_tree(
     count = jnp.where(valid, count_k, 0)
     count = jnp.concatenate([count, jnp.zeros((1,), jnp.int32)])
 
-    # ---- octet table: each node's children packed into one gather row ----
-    # Every real node except the root is some parent's child: its parent is
-    # the (level-1) run containing its first particle (start rs_all[lvl-1],
-    # node index by the same offset+rank formula as above), and its slot is
-    # its own Morton octant digit at its level. One bounded scatter of
-    # [cog bits, id, aux] triples builds the whole table; see the
-    # TreeArrays.octets docstring for why walks want this layout.
+    # ---- compact octet tables (walk_engine="octet") --------------------
+    # TPU row gathers get faster the narrower AND smaller the table
+    # (measured on v5e: (2M,40) 92 us vs (250k,24) ~22 us per 2048-row
+    # step), so the octet table indexes only INTERNAL nodes (the ones a
+    # walk can open) and packs each child into 3 int32 columns:
+    #   col0  [exists:1][terminal:1][octant digit:3][qz:9][qy:9][qx:9] —
+    #         the child cog quantized to 1/512ths of its own cell (the
+    #         walk dequantizes from the parent center + digit and inflates
+    #         the theta test by the sqrt(3)/1024 cell-relative error, so
+    #         acceptance stays conservative)
+    #   col1  child's own octet row (internal children; junk for leaves)
+    #   col2  child's particle offset within the parent run (firsts and
+    #         member-run lengths are offset differences — no counts col)
+    # Children sit in COMPACT slot order (DFS sibling order == ascending
+    # Morton digit), found by chasing the sibling skip-chain from
+    # first-child = parent+1 — eight bulk row-gathers instead of the
+    # arena-sized scatter a digit-slotted layout would need (185 ms at
+    # cap=2M; the whole chain construction is ~a third of that).
+    # A matching point-mass table (octet_pts, comb-table row format) falls
+    # out of the same chain gathers for free, giving phase B child-indexed
+    # rows at ptr*8+slot and removing any need for a node-id column.
     if params.walk_engine != "octet":
         return TreeArrays(
             nodes_f32=nodes,
@@ -270,36 +293,122 @@ def build_tree(
             root_width=jnp.asarray(root_width, jnp.float32),
             overflowed=num_nodes_raw > cap,
         )
-    plvl = jnp.maximum(lvl_of - 1, 0)
-    pp = jnp.take(rs_all.reshape(-1), plvl * n + pon_c)
-    pp_c = jnp.clip(pp, 0, max(n - 1, 0))
-    pidx = jnp.take(offset, pp_c) + (plvl - jnp.take(s, pp_c))
-    d_hi = min(depth, 10)
-    d_lo = depth - d_hi
-    hi_u = jnp.take(hi, pon_c)
-    lo_u = jnp.take(lo, pon_c)
-    sh_hi = jnp.clip(3 * (d_hi - lvl_of), 0, 30).astype(jnp.uint32)
-    sh_lo = jnp.clip(3 * (d_lo - (lvl_of - d_hi)), 0, 30).astype(jnp.uint32)
-    digit = jnp.where(
-        lvl_of <= d_hi, (hi_u >> sh_hi) & 7, (lo_u >> sh_lo) & 7
-    ).astype(jnp.int32)
-    is_child = valid & (kk > 0)
-    tgt = jnp.where(is_child, pidx * 8 + digit, (cap + 1) * 8)
-    aux = (count_k << 2) | (terminal_k.astype(jnp.int32) << 1) | 1
-    child_vals = jnp.concatenate(
+    cap_oct = params.octet_capacity(n)
+    is_internal = valid & (no_child_k == 0.0)
+    irank = jnp.cumsum(is_internal.astype(jnp.int32)) - 1
+    n_internal = jnp.where(num_nodes_raw > 0, irank[-1] + 1, 0)
+    oct_overflow = n_internal > cap_oct
+    p_of = (
+        jnp.zeros((cap_oct,), jnp.int32)
+        .at[jnp.where(is_internal & (irank < cap_oct), irank, cap_oct)]
+        .set(kk, mode="drop")
+    )
+
+    # one combined per-node row so each chain hop is a single row gather:
+    # [cog x/y/z bits, mass bits, lvl, first, skip, no_child, irank,
+    #  cell x/y/z, pad...]
+    pos_first = jnp.take(pos, pon_c, axis=0)
+    cells_nodes = morton.quantize(pos_first, bound, depth).astype(jnp.int32)
+    chain_tbl = jnp.concatenate(
         [
-            jax.lax.bitcast_convert_type(cog, jnp.int32),
-            kk[:, None],
-            aux[:, None],
+            jax.lax.bitcast_convert_type(
+                jnp.concatenate([cog, tot[:, 0:1]], axis=1), jnp.int32
+            ),
+            lvl_of[:, None],
+            first[:cap, None],
+            skip[:cap, None],
+            no_child_k.astype(jnp.int32)[:, None],
+            irank[:, None],
+            cells_nodes,
+        ],
+        axis=1,
+    )  # (cap, 12)
+    # sentinel chain row: non-existent (skip column irrelevant)
+    chain_sent = jnp.zeros((1, 12), jnp.int32)
+    chain_tbl = jnp.concatenate([chain_tbl, chain_sent], axis=0)
+
+    p_skip = jnp.take(skip, jnp.minimum(p_of, cap))
+    p_first = jnp.take(first, jnp.minimum(p_of, cap))
+    u = jnp.minimum(p_of + 1, cap)
+    oct_cols = []
+    pts_rows = []
+    far_bits = lax.bitcast_convert_type(jnp.float32(1e15), jnp.int32)
+    for c in range(8):
+        ex = u < p_skip
+        row = jnp.take(chain_tbl, u, axis=0)  # (cap_oct, 16)
+        ccog = lax.bitcast_convert_type(row[:, 0:3], jnp.float32)
+        lvl_u = row[:, 4]
+        first_u = row[:, 5]
+        skip_u = row[:, 6]
+        term_u = row[:, 7] > 0
+        ptr_u = row[:, 8]
+        cell_u = row[:, 9:12]
+        sh = jnp.clip(depth - lvl_u, 0, 31).astype(jnp.uint32)
+        cell_l = (cell_u.astype(jnp.uint32) >> sh[:, None]).astype(jnp.float32)
+        w_l = root_width * jnp.exp2(-lvl_u.astype(jnp.float32))
+        lo_l = cell_l * w_l[:, None] - bound
+        q = jnp.clip(
+            jnp.floor((ccog - lo_l) / w_l[:, None] * 512.0), 0.0, 511.0
+        ).astype(jnp.int32)
+        digit = (
+            ((cell_u[:, 0] >> sh) & 1)
+            | (((cell_u[:, 1] >> sh) & 1) << 1)
+            | (((cell_u[:, 2] >> sh) & 1) << 2)
+        ).astype(jnp.int32)
+        col0 = jnp.where(
+            ex,
+            (jnp.int32(1) << 31)
+            | (term_u.astype(jnp.int32) << 30)
+            | (digit << 27)
+            | (q[:, 2] << 18)
+            | (q[:, 1] << 9)
+            | q[:, 0],
+            0,
+        )
+        col1 = jnp.where(ex, ptr_u, 0)
+        col2 = jnp.where(ex, first_u - p_first, 0)
+        oct_cols.extend([col0, col1, col2])
+        pts_rows.append(
+            jnp.stack(
+                [
+                    jnp.where(ex, row[:, 0], far_bits),
+                    jnp.where(ex, row[:, 1], 0),
+                    jnp.where(ex, row[:, 2], 0),
+                    jnp.where(ex, row[:, 3], 0),  # mass 0 for absent
+                    jnp.zeros_like(u),
+                    jnp.zeros_like(u),
+                    jnp.zeros_like(u),
+                    jnp.full_like(u, -1),
+                ],
+                axis=1,
+            )
+        )
+        u = jnp.where(ex, jnp.minimum(skip_u, cap), u)
+    octets = jnp.stack(oct_cols, axis=1)  # (cap_oct, 24)
+    # point rows at ptr*8 + slot, then [root | sentinel] (the walk appends
+    # source-particle member rows after these)
+    root_bits = lax.bitcast_convert_type(nodes[0:1, :], jnp.int32)
+    root_row = jnp.concatenate(
+        [root_bits[:, 0:4], jnp.zeros((1, 3), jnp.int32),
+         jnp.full((1, 1), -1, jnp.int32)],
+        axis=1,
+    )
+    sent_row = jnp.concatenate(
+        [
+            jnp.full((1, 1), far_bits, jnp.int32),
+            jnp.zeros((1, 6), jnp.int32),
+            jnp.full((1, 1), -1, jnp.int32),
         ],
         axis=1,
     )
-    octets = (
-        jnp.zeros(((cap + 1) * 8, OCTET_CHILD_COLS), jnp.int32)
-        .at[tgt]
-        .set(child_vals, mode="drop")
-        .reshape(cap + 1, 8 * OCTET_CHILD_COLS)
-    )
+    octet_pts = jnp.concatenate(
+        [
+            jnp.stack(pts_rows, axis=1).reshape(cap_oct * 8, 8),
+            root_row,
+            sent_row,
+        ],
+        axis=0,
+    )  # (cap_oct*8 + 2, 8)
 
     return TreeArrays(
         nodes_f32=nodes,
@@ -308,6 +417,7 @@ def build_tree(
         count=count,
         num_nodes=num_nodes,
         root_width=jnp.asarray(root_width, jnp.float32),
-        overflowed=num_nodes_raw > cap,
+        overflowed=(num_nodes_raw > cap) | oct_overflow,
         octets=octets,
+        octet_pts=octet_pts,
     )

@@ -69,12 +69,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from wgpu_n_body_tpu.ops import morton, scan
-from wgpu_n_body_tpu.ops.tree_build import (
-    NO_CHILD,
-    OCTET_CHILD_COLS,
-    WIDTH,
-    TreeArrays,
-)
+from wgpu_n_body_tpu.ops.tree_build import NO_CHILD, WIDTH, TreeArrays
 from wgpu_n_body_tpu.ops.tree_walk import tree_forces
 from wgpu_n_body_tpu.params import SimParams, TreeParams
 
@@ -231,14 +226,13 @@ def group_tree_forces(
     #   [x, y, z, mass] (f32 bits)  |  cols 4-6 unused  |  col 7 = global
     #   particle index for member rows, -1 for node rows (never equal to
     #   a receiver gid).
-    # Node k's point-mass row IS row k; source particle j's row is
-    # cap+1+j. Phase A emits row ids straight into the lists; phase B is
-    # then a single uniform gather + point-mass pass, with the sentinel
-    # (row cap: zero mass, cog 1e30) contributing exactly zero.
+    # Skip engine: node k's point-mass row IS row k; row `cap` is the
+    # sentinel. Octet engine: node rows come from the build's child-
+    # indexed octet_pts (entry ptr*8 + slot; root and sentinel follow).
+    # Either way phase A emits row ids straight into the lists and phase
+    # B is one uniform gather + point-mass pass, with the sentinel (zero
+    # mass, far cog) contributing exactly zero.
     node_bits = lax.bitcast_convert_type(tree.nodes_f32, jnp.int32)
-    node_rows = jnp.concatenate(
-        [node_bits[:, :7], jnp.full((cap + 1, 1), -1, jnp.int32)], axis=1
-    )
     part_bits = lax.bitcast_convert_type(
         jnp.concatenate([src_pos, src_mass[:, None]], axis=1), jnp.int32
     )
@@ -250,8 +244,19 @@ def group_tree_forces(
         ],
         axis=1,
     )
-    comb_i32 = jnp.concatenate([node_rows, part_rows], axis=0)
-    member_base = cap + 1
+    if tree.octets is not None:
+        cap_oct = tree.octets.shape[0]
+        root_pt = cap_oct * 8
+        sent = cap_oct * 8 + 1
+        member_base = cap_oct * 8 + 2
+        comb_i32 = jnp.concatenate([tree.octet_pts, part_rows], axis=0)
+    else:
+        node_rows = jnp.concatenate(
+            [node_bits[:, :7], jnp.full((cap + 1, 1), -1, jnp.int32)], axis=1
+        )
+        sent = cap
+        member_base = cap + 1
+        comb_i32 = jnp.concatenate([node_rows, part_rows], axis=0)
 
     # ---- traversal table: one 8-col int32 row gather per visited node ----
     # [cx, cy, cz, width] (f32 bits) | no_child | skip | first | count
@@ -278,15 +283,17 @@ def group_tree_forces(
     # The iteration budget IS the list capacity: overflow cannot happen;
     # tiles not finished within R rows are deferred to the fallback.
     use_octet = tree.octets is not None
-    k_slots = 8  # octet engine: emission rows per step
+    # Octet emission slots per step: 8 measured best end-to-end (4 halves
+    # phase-B row padding but doubles member-streaming steps, a net loss —
+    # 718 vs 541 ms at N=1M disc). Accepted children still compact into
+    # the slots with a spill revisit so the machinery supports any K.
+    k_slots = 8
     if use_octet:
         # The octet body is ~450 elementwise ops per step: unrolling 8
         # steps amortizes TPU while-iteration overhead, but LLVM (the XLA
         # *CPU* backend) takes >9 min on the 8x body — tests and the
         # multichip dryrun run on CPU, so unroll shallow there.
         unroll = 8 if jax.default_backend() == "tpu" else 1
-        # steps emit k_slots rows each (~50% slot occupancy vs ~55% row
-        # occupancy for the skip engine), so the octet row budget is 2x
         r_cap = -(-(4 * l_cap) // 256) * 256
         iter_cap = (r_cap - k_slots) // (unroll * k_slots)
     else:
@@ -304,16 +311,19 @@ def group_tree_forces(
             f"ta_blk={ta_blk}"
         )
 
-    # empty tiles start done
-    cur_init = jnp.where(piece_len_d > 0, 0, tree.num_nodes).astype(jnp.int32)
+    def phase_a_skip(blo, bhi, active0, width, budget, act_floor):
+        """Skip-pointer engine: one node visit per lockstep step.
 
-    def phase_a_skip(t0, blo, bhi):
-        """Skip-pointer engine: one node visit per lockstep step."""
-        cur0 = lax.dynamic_slice(cur_init, (t0,), (ta_blk,))
+        Stops once fewer than ``act_floor`` lanes remain active (the
+        stragglers restart from scratch in the narrow second pass) or
+        the iteration ``budget`` runs out.
+        """
+        cur0 = jnp.where(active0, 0, tree.num_nodes).astype(jnp.int32)
 
         def cond(carry):
             it, cur, _, _, _ = carry
-            return (it < iter_cap) & jnp.any(cur < tree.num_nodes)
+            n_act = jnp.sum((cur < tree.num_nodes).astype(jnp.int32))
+            return (it < budget) & (n_act > act_floor)
 
         def body(carry):
             it, cur, koff, lists, visits = carry
@@ -356,28 +366,34 @@ def group_tree_forces(
             )
             return it + 1, cur, koff, lists, visits
 
-        lists_b0 = jnp.full((r_cap, ta_blk), cap, jnp.int32)
-        visits_b0 = jnp.zeros((ta_blk,), jnp.int32)
-        koff_b0 = jnp.zeros((ta_blk,), jnp.int32)
+        lists_b0 = jnp.full((r_cap, width), cap, jnp.int32)
+        visits_b0 = jnp.zeros((width,), jnp.int32)
+        koff_b0 = jnp.zeros((width,), jnp.int32)
         _, cur_b, _, lists_b, visits_b = lax.while_loop(
             cond, body, (jnp.int32(0), cur0, koff_b0, lists_b0, visits_b0)
         )
         return lists_b, visits_b, cur_b < tree.num_nodes
 
-    def phase_a_octet(t0, blo, bhi):
+    def phase_a_octet(blo, bhi, active0, width, budget, act_floor):
         """Octet engine: one *opened* node (8 child tests) per step.
 
-        Per-lane item registers: kind (0 idle / 1 open / 2 members),
-        ia (octet ptr | member first), ib (node first | members left),
-        im (processed-children bitmask for resumed opens), iw (node
-        width, f32). The resume stack holds one item per tree level
-        (only descents push; the parent is re-entered with its mask to
-        find the next open/member child), so S = max_depth + margin
-        bounds it and overflow marks the lane deferred.
+        Per-lane item registers: kind (0 idle / 1 open / 2 members);
+        OPEN items carry (ia=octet row, ib=first particle, ic=count,
+        im=processed-children bitmask, iw=cell width, ix/iy/iz=cell
+        center); MEMBERS items reuse (ia=absolute member index,
+        ib=members left). Child geometry decodes from the packed octet
+        columns: cell center = parent center +- w/4 by the stored octant
+        digit, cog = the 9-bit cell-relative quantization, with the
+        theta test inflated by the sqrt(3)/1024 dequantization bound so
+        acceptance stays conservative. The resume stack holds one item
+        per tree level (only descents push; the parent is re-entered
+        with its mask to find its next open/member child), so
+        S = max_depth + margin bounds it; overflow defers the lane.
         """
         s_cap = depth + 4
         octets = tree.octets
-        active0 = lax.dynamic_slice(piece_len_d, (t0,), (ta_blk,)) > 0
+        q_scale = jnp.float32(1.0 / 512.0)
+        accf = jnp.float32(1.0 + 0.002 * theta)
         # root classification (vector over lanes, outside the loop): the
         # root is the only node that is nobody's octet child.
         r_row = tree.nodes_f32[0]
@@ -391,171 +407,268 @@ def group_tree_forces(
         ).astype(jnp.int32)
         ia0 = jnp.where(kind0 == 2, tree.first[0], 0)
         ib0 = jnp.where(kind0 == 2, tree.count[0], tree.first[0])
-        im0 = jnp.zeros((ta_blk,), jnp.int32)
-        iw0 = jnp.broadcast_to(r_row[WIDTH], (ta_blk,))
-        lists0 = jnp.full((r_cap, ta_blk), cap, jnp.int32)
+        ic0 = jnp.broadcast_to(tree.count[0], (width,))
+        im0 = jnp.zeros((width,), jnp.int32)
+        iw0 = jnp.broadcast_to(r_row[WIDTH], (width,))
+        zf0 = jnp.zeros((width,), jnp.float32)  # root cell center: origin
+        lists0 = jnp.full((r_cap, width), sent, jnp.int32)
         lists0 = lax.dynamic_update_slice(
             lists0,
-            jnp.where(active0 & r_acc, 0, cap)[None, :],
+            jnp.where(active0 & r_acc, root_pt, sent)[None, :],
             (0, jnp.int32(0)),
         )
         nrows0 = jnp.where(active0, k_slots, 0)
 
         def cond(carry):
             it, kind = carry[0], carry[1]
-            return (it < iter_cap) & jnp.any(kind > 0)
+            n_act = jnp.sum((kind > 0).astype(jnp.int32))
+            return (it < budget) & (n_act > act_floor)
 
         def body(carry):
-            # The body is written as ELEMENTWISE (TA,)-shaped select chains
-            # (python-unrolled over the 8 child slots and the stack depth)
-            # on purpose: cross-slot reductions/one-hots (cumsum, argmax,
-            # axis sums) each become their own TPU kernel inside the while
-            # body, and the resulting launch storm measured ~100 us/step —
-            # the elementwise form fuses into a handful of kernels.
-            (it, kind, ia, ib, im, iw, sp, sk, sa, sb, sm, sw, lists,
-             nrows, bad) = carry
+            # ELEMENTWISE select chains on purpose: cross-slot reductions
+            # (cumsum/argmax/axis sums) each become their own TPU kernel
+            # inside the while body, and the resulting launch storm
+            # measured ~100 us/step; this form fuses into a few kernels.
+            (it, kind, ia, ib, ic, im, iw, ix, iy, iz, sp,
+             sk, sa, sb, sc, sm, sw, sx, sy, sz, lists, nrows, bad) = carry
             step_rows = []
             for _ in range(unroll):
                 is_open = kind == 1
                 is_mem = kind == 2
                 act = kind > 0
-                ptr = jnp.where(is_open, ia, 0)
-                raw = jnp.take(octets, ptr, axis=0)  # (TA, 40) int32
+                ptr = jnp.clip(jnp.where(is_open, ia, 0), 0, cap_oct - 1)
+                raw = jnp.take(octets, ptr, axis=0)  # (TA, 24) int32
                 cw = iw * 0.5
-                cid, ccnt, exists, cterm, cacc, cmem_l = [], [], [], [], [], []
-                cfirst = []
-                running = ib
+                hq = iw * 0.25
+                cell_q = cw * q_scale
+                col0 = [raw[:, 3 * c] for c in range(8)]
+                off = [raw[:, 3 * c + 2] for c in range(8)]
+                exists = [c0 < 0 for c0 in col0]
+                # children are slot-compact (absent only at the tail), so
+                # the next offset is the next slot's, or parent count last
+                off_next = [None] * 8
+                off_next[7] = ic
+                for c in range(6, -1, -1):
+                    off_next[c] = jnp.where(exists[c + 1], off[c + 1], ic)
+                cterm, cacc, cmem_l, copen_l, emit_l = [], [], [], [], []
+                ccx, ccy, ccz, cfirst = [], [], [], []
                 for c in range(8):
-                    o = c * OCTET_CHILD_COLS
-                    cx = lax.bitcast_convert_type(raw[:, o + 0], jnp.float32)
-                    cy = lax.bitcast_convert_type(raw[:, o + 1], jnp.float32)
-                    cz = lax.bitcast_convert_type(raw[:, o + 2], jnp.float32)
-                    aux = raw[:, o + 4]
-                    ex = (aux & 1) == 1
-                    cnt = aux >> 2
-                    dx = jnp.maximum(jnp.maximum(blo[:, 0] - cx, cx - bhi[:, 0]), 0.0)
-                    dy = jnp.maximum(jnp.maximum(blo[:, 1] - cy, cy - bhi[:, 1]), 0.0)
-                    dz = jnp.maximum(jnp.maximum(blo[:, 2] - cz, cz - bhi[:, 2]), 0.0)
+                    c0 = col0[c]
+                    term_c = ((c0 >> 30) & 1) == 1
+                    digit = (c0 >> 27) & 7
+                    qx = (c0 & 511).astype(jnp.float32)
+                    qy = ((c0 >> 9) & 511).astype(jnp.float32)
+                    qz = ((c0 >> 18) & 511).astype(jnp.float32)
+                    cx = jnp.where((digit & 1) == 1, ix + hq, ix - hq)
+                    cy = jnp.where((digit & 2) == 2, iy + hq, iy - hq)
+                    cz = jnp.where((digit & 4) == 4, iz + hq, iz - hq)
+                    gx = (cx - hq) + (qx + 0.5) * cell_q
+                    gy = (cy - hq) + (qy + 0.5) * cell_q
+                    gz = (cz - hq) + (qz + 0.5) * cell_q
+                    dx = jnp.maximum(jnp.maximum(blo[:, 0] - gx, gx - bhi[:, 0]), 0.0)
+                    dy = jnp.maximum(jnp.maximum(blo[:, 1] - gy, gy - bhi[:, 1]), 0.0)
+                    dz = jnp.maximum(jnp.maximum(blo[:, 2] - gz, gz - bhi[:, 2]), 0.0)
                     dmin = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                    ex = exists[c]
                     procd = ((im >> c) & 1) == 1
-                    acc_c = ex & (cw < theta * dmin)
-                    term_c = (aux & 2) == 2
-                    cid.append(raw[:, o + 3])
-                    ccnt.append(cnt)
-                    exists.append(ex)
+                    acc_c = ex & (cw * accf < theta * dmin)
                     cterm.append(term_c)
                     cacc.append(acc_c)
+                    emit_l.append(acc_c & ~procd)
+                    copen_l.append(ex & ~acc_c & ~term_c & ~procd)
                     cmem_l.append(ex & ~acc_c & term_c & ~procd)
-                    cfirst.append(running)
-                    running = running + cnt
-                    if c == 0:
-                        emit_l = [acc_c & ~procd]
-                        copen_l = [ex & ~acc_c & ~term_c & ~procd]
-                    else:
-                        emit_l.append(acc_c & ~procd)
-                        copen_l.append(ex & ~acc_c & ~term_c & ~procd)
+                    ccx.append(cx)
+                    ccy.append(cy)
+                    ccz.append(cz)
+                    cfirst.append(ib + off[c])
                 # maximal runs of adjacent member children merge into one
-                # contiguous particle range (children partition the parent
-                # run in slot = Morton order)
+                # contiguous particle range (slot order = Morton order)
                 run_start = [cmem_l[0]] + [
                     cmem_l[c] & ~cmem_l[c - 1] for c in range(1, 8)
                 ]
-                run_tot = [None] * 8
+                run_end = [None] * 8
                 run_msk = [None] * 8
-                run_tot[7] = ccnt[7]
+                run_end[7] = off_next[7]
                 run_msk[7] = jnp.where(cmem_l[7], jnp.int32(128), 0)
                 for c in range(6, -1, -1):
                     nxt_in = cmem_l[c + 1]
-                    run_tot[c] = ccnt[c] + jnp.where(nxt_in, run_tot[c + 1], 0)
+                    run_end[c] = jnp.where(nxt_in, run_end[c + 1], off_next[c])
                     run_msk[c] = jnp.int32(1 << c) | jnp.where(
                         nxt_in, run_msk[c + 1], 0
                     )
-                # emission at natural slot positions (slots are fixed
-                # K-wide, so compaction would buy nothing); member lanes
-                # stream K contiguous ids
+                # accepted-emission prefix (elementwise over the 8 slots);
+                # >K accepted spill to a same-node revisit (emission itself
+                # happens after candidate selection, so free slots can be
+                # filled with members of the chosen run)
                 open_lane = act & is_open
                 mem_lane = act & is_mem
-                for k in range(k_slots):
-                    row_k = jnp.where(
-                        open_lane & emit_l[k],
-                        cid[k],
-                        jnp.where(
-                            mem_lane & (k < ib), member_base + ia + k, cap
-                        ),
-                    )
-                    step_rows.append(row_k)
+                pos = []
+                running_e = jnp.zeros((width,), jnp.int32)
+                for c in range(8):
+                    pos.append(running_e)
+                    running_e = running_e + emit_l[c]
+                spill = open_lane & (running_e > k_slots)
                 # next open/member child = lowest candidate slot, via a
                 # descending select chain
-                n_kind = jnp.zeros((ta_blk,), jnp.int32)
-                n_a = jnp.zeros((ta_blk,), jnp.int32)
-                n_b = jnp.zeros((ta_blk,), jnp.int32)
-                n_bits = jnp.zeros((ta_blk,), jnp.int32)
-                any_cand = jnp.zeros((ta_blk,), bool)
-                n_cand = jnp.zeros((ta_blk,), jnp.int32)
-                done_bits = jnp.zeros((ta_blk,), jnp.int32)
+                n_kind = jnp.zeros((width,), jnp.int32)
+                n_a = jnp.zeros((width,), jnp.int32)
+                n_b = jnp.zeros((width,), jnp.int32)
+                n_c = jnp.zeros((width,), jnp.int32)
+                n_bits = jnp.zeros((width,), jnp.int32)
+                n_cx = jnp.zeros((width,), jnp.float32)
+                n_cy = jnp.zeros((width,), jnp.float32)
+                n_cz = jnp.zeros((width,), jnp.float32)
+                any_cand = jnp.zeros((width,), bool)
+                n_cand = jnp.zeros((width,), jnp.int32)
+                done_bits = jnp.zeros((width,), jnp.int32)
                 for c in range(7, -1, -1):
                     sel = copen_l[c] | (cmem_l[c] & run_start[c])
                     opn = copen_l[c]
                     n_kind = jnp.where(sel, jnp.where(opn, 1, 2), n_kind)
-                    n_a = jnp.where(sel, jnp.where(opn, cid[c], cfirst[c]), n_a)
-                    n_b = jnp.where(sel, jnp.where(opn, cfirst[c], run_tot[c]), n_b)
+                    n_a = jnp.where(
+                        sel, jnp.where(opn, raw[:, 3 * c + 1], cfirst[c]), n_a
+                    )
+                    n_b = jnp.where(
+                        sel,
+                        jnp.where(opn, cfirst[c], run_end[c] - off[c]),
+                        n_b,
+                    )
+                    n_c = jnp.where(sel, off_next[c] - off[c], n_c)
                     n_bits = jnp.where(
                         sel, jnp.where(opn, jnp.int32(1 << c), run_msk[c]), n_bits
                     )
+                    n_cx = jnp.where(sel, ccx[c], n_cx)
+                    n_cy = jnp.where(sel, ccy[c], n_cy)
+                    n_cz = jnp.where(sel, ccz[c], n_cz)
                     any_cand = any_cand | sel
                     n_cand = n_cand + sel
+                    # processed = absent, previously handled (already in
+                    # im), or accepted AND emitted this step; spilled
+                    # accepted children stay unprocessed for the revisit
                     done_bits = done_bits | jnp.where(
-                        ~exists[c] | cacc[c], jnp.int32(1 << c), 0
+                        ~exists[c] | (emit_l[c] & (pos[c] < k_slots)),
+                        jnp.int32(1 << c),
+                        0,
                     )
+                # member drain: an open step's free emission slots carry
+                # the leading members of the chosen run — most member
+                # streaming rides along with traversal for free. A fully
+                # drained run turns into a same-node revisit (stay) so the
+                # mask machinery picks up the node's next candidate.
+                chose_mem = any_cand & (n_kind == 2)
+                n_emit = jnp.minimum(running_e, k_slots)
+                drained = jnp.where(
+                    open_lane & chose_mem & ~spill,
+                    jnp.minimum(k_slots - n_emit, n_b),
+                    0,
+                )
+                stay_drain = open_lane & (drained > 0) & (drained >= n_b)
+                n_a_eff = jnp.where(chose_mem, n_a + drained, n_a)
+                n_b_eff = jnp.where(chose_mem, n_b - drained, n_b)
+                # emission: accepted children compacted to the front,
+                # drained run members behind them; member lanes stream K
+                for k in range(k_slots):
+                    v = jnp.full((width,), sent, jnp.int32)
+                    for c in range(8):
+                        v = jnp.where(emit_l[c] & (pos[c] == k), ia * 8 + c, v)
+                    v = jnp.where(
+                        (k >= n_emit) & (k - n_emit < drained),
+                        member_base + n_a + (k - n_emit),
+                        v,
+                    )
+                    row_k = jnp.where(
+                        open_lane,
+                        v,
+                        jnp.where(
+                            mem_lane & (k < ib), member_base + ia + k, sent
+                        ),
+                    )
+                    step_rows.append(row_k)
                 resume_mask = im | done_bits | n_bits
                 cont = mem_lane & (ib > k_slots)
-                descend = open_lane & any_cand
+                descend = open_lane & any_cand & ~spill & ~stay_drain
                 push = descend & (n_cand > 1)
-                pop = act & ~cont & ~descend & (sp > 0)
+                pop = (
+                    act & ~cont & ~spill & ~stay_drain & ~descend & (sp > 0)
+                )
                 overflow = push & (sp >= s_cap)
                 push = push & ~overflow
                 # single-slot stack write (push) + top read (pop): the
                 # write is one fused where per register over the (S, TA)
-                # stack; the read is an unrolled select chain (elementwise,
-                # so it fuses — an axis-0 reduction would not)
-                p_k = jnp.zeros((ta_blk,), jnp.int32)
-                p_a = jnp.zeros((ta_blk,), jnp.int32)
-                p_b = jnp.zeros((ta_blk,), jnp.int32)
-                p_m = jnp.zeros((ta_blk,), jnp.int32)
-                p_w = jnp.zeros((ta_blk,), jnp.float32)
+                # stack; the read is an unrolled elementwise select chain
+                p_k = jnp.zeros((width,), jnp.int32)
+                p_a = jnp.zeros((width,), jnp.int32)
+                p_b = jnp.zeros((width,), jnp.int32)
+                p_c = jnp.zeros((width,), jnp.int32)
+                p_m = jnp.zeros((width,), jnp.int32)
+                p_w = jnp.zeros((width,), jnp.float32)
+                p_x = jnp.zeros((width,), jnp.float32)
+                p_y = jnp.zeros((width,), jnp.float32)
+                p_z = jnp.zeros((width,), jnp.float32)
                 for d in range(s_cap):
                     rsel = sp == d + 1
                     p_k = jnp.where(rsel, sk[d], p_k)
                     p_a = jnp.where(rsel, sa[d], p_a)
                     p_b = jnp.where(rsel, sb[d], p_b)
+                    p_c = jnp.where(rsel, sc[d], p_c)
                     p_m = jnp.where(rsel, sm[d], p_m)
                     p_w = jnp.where(rsel, sw[d], p_w)
+                    p_x = jnp.where(rsel, sx[d], p_x)
+                    p_y = jnp.where(rsel, sy[d], p_y)
+                    p_z = jnp.where(rsel, sz[d], p_z)
                 dd = jnp.arange(s_cap, dtype=jnp.int32)[:, None]
                 wsel = push[None, :] & (sp[None, :] == dd)
                 sk = jnp.where(wsel, 1, sk)
                 sa = jnp.where(wsel, ia[None, :], sa)
                 sb = jnp.where(wsel, ib[None, :], sb)
+                sc = jnp.where(wsel, ic[None, :], sc)
                 sm = jnp.where(wsel, resume_mask[None, :], sm)
                 sw = jnp.where(wsel, iw[None, :], sw)
+                sx = jnp.where(wsel, ix[None, :], sx)
+                sy = jnp.where(wsel, iy[None, :], sy)
+                sz = jnp.where(wsel, iz[None, :], sz)
                 sp = sp + push.astype(jnp.int32) - pop.astype(jnp.int32)
+                keep = cont | spill | stay_drain  # same item continues
                 kind = jnp.where(
-                    cont, 2, jnp.where(descend, n_kind, jnp.where(pop, p_k, 0))
+                    keep,
+                    kind,
+                    jnp.where(descend, n_kind, jnp.where(pop, p_k, 0)),
                 )
                 ia = jnp.where(
-                    cont,
-                    ia + k_slots,
-                    jnp.where(descend, n_a, jnp.where(pop, p_a, 0)),
+                    keep,
+                    jnp.where(cont, ia + k_slots, ia),
+                    jnp.where(descend, n_a_eff, jnp.where(pop, p_a, 0)),
                 )
                 ib = jnp.where(
-                    cont,
-                    ib - k_slots,
-                    jnp.where(descend, n_b, jnp.where(pop, p_b, 0)),
+                    keep,
+                    jnp.where(cont, ib - k_slots, ib),
+                    jnp.where(descend, n_b_eff, jnp.where(pop, p_b, 0)),
+                )
+                ic = jnp.where(
+                    keep, ic, jnp.where(descend, n_c, jnp.where(pop, p_c, 0))
                 )
                 im = jnp.where(
-                    cont, 0, jnp.where(descend, 0, jnp.where(pop, p_m, 0))
+                    keep,
+                    jnp.where(
+                        cont,
+                        0,
+                        im
+                        | done_bits
+                        | jnp.where(stay_drain, n_bits, 0),
+                    ),
+                    jnp.where(descend, 0, jnp.where(pop, p_m, 0)),
                 )
                 iw = jnp.where(
-                    cont, iw, jnp.where(descend, cw, jnp.where(pop, p_w, 0.0))
+                    keep, iw, jnp.where(descend, cw, jnp.where(pop, p_w, 0.0))
+                )
+                ix = jnp.where(
+                    keep, ix, jnp.where(descend, n_cx, jnp.where(pop, p_x, 0.0))
+                )
+                iy = jnp.where(
+                    keep, iy, jnp.where(descend, n_cy, jnp.where(pop, p_y, 0.0))
+                )
+                iz = jnp.where(
+                    keep, iz, jnp.where(descend, n_cz, jnp.where(pop, p_z, 0.0))
                 )
                 kind = jnp.where(overflow, 0, kind)
                 bad = bad | overflow
@@ -565,45 +678,34 @@ def group_tree_forces(
                 jnp.stack(step_rows, axis=0),
                 (k_slots + it * unroll * k_slots, jnp.int32(0)),
             )
-            return (it + 1, kind, ia, ib, im, iw, sp, sk, sa, sb, sm, sw,
-                    lists, nrows, bad)
+            return (it + 1, kind, ia, ib, ic, im, iw, ix, iy, iz, sp,
+                    sk, sa, sb, sc, sm, sw, sx, sy, sz, lists, nrows, bad)
 
-        zi = jnp.zeros((s_cap, ta_blk), jnp.int32)
+        zi = jnp.zeros((s_cap, width), jnp.int32)
+        zf = jnp.zeros((s_cap, width), jnp.float32)
         carry0 = (
-            jnp.int32(0), kind0, ia0, ib0, im0, iw0,
-            jnp.zeros((ta_blk,), jnp.int32), zi, zi, zi, zi,
-            jnp.zeros((s_cap, ta_blk), jnp.float32),
-            lists0, nrows0, jnp.zeros((ta_blk,), bool),
+            jnp.int32(0), kind0, ia0, ib0, ic0, im0, iw0, zf0, zf0, zf0,
+            jnp.zeros((width,), jnp.int32), zi, zi, zi, zi, zi,
+            zf, zf, zf, zf,
+            lists0, nrows0, jnp.zeros((width,), bool),
         )
         out = lax.while_loop(cond, body, carry0)
-        kind_end, lists_b, nrows_b, bad_b = out[1], out[12], out[13], out[14]
+        kind_end, lists_b, nrows_b, bad_b = out[1], out[20], out[21], out[22]
         return lists_b, nrows_b, bad_b | (kind_end > 0)
 
-    def walk_block(b, carry):
-        acc_all, bad_all = carry
-        t0 = b * ta_blk
-        blo = lax.dynamic_slice(bbox_lo_d, (t0, 0), (ta_blk, 3))
-        bhi = lax.dynamic_slice(bbox_hi_d, (t0, 0), (ta_blk, 3))
-        if use_octet:
-            lists_b, visits_b, bad_b = phase_a_octet(t0, blo, bhi)
-        else:
-            lists_b, visits_b, bad_b = phase_a_skip(t0, blo, bhi)
-        bad_all = lax.dynamic_update_slice(bad_all, bad_b, (t0,))
+    def eval_block(lists_b, visits_b, tiles_blk, gid_blk, width):
+        """Fused evaluation of one phase-A block's lists -> (width, G, 3).
 
-        # ---- fused evaluation of this block's lists ----
-        # The block's lists never leave this loop iteration — no global
-        # (r_cap, t_cap) array exists at any point (it OOM'd HBM at N=4M).
-        # Within the block, tiles are sorted by descending list length so
-        # each t_blk sub-block chunks only to its own max.
+        The block's lists never leave the caller's loop iteration — no
+        global (r_cap, t_cap) array exists at any point (it OOM'd HBM at
+        N=4M). Within the block, tiles are sorted by descending list
+        length so each t_blk sub-block chunks only to its own max.
+        """
         ord_b = jnp.argsort(-visits_b).astype(jnp.int32)
         lists_bs = jnp.take(lists_b, ord_b, axis=1)
         visits_bs = jnp.take(visits_b, ord_b)
-        tiles_bs = jnp.take(
-            lax.dynamic_slice(tiles_d, (t0, 0, 0), (ta_blk, g, 3)), ord_b, axis=0
-        )
-        gid_bs = jnp.take(
-            lax.dynamic_slice(gid_d, (t0, 0), (ta_blk, g)), ord_b, axis=0
-        )
+        tiles_bs = jnp.take(tiles_blk, ord_b, axis=0)
+        gid_bs = jnp.take(gid_blk, ord_b, axis=0)
 
         def sub_block(sb, acc_sorted_blk):
             if _DEBUG_SKIP_EVAL:  # profiling-only: traversal cost alone
@@ -662,13 +764,41 @@ def group_tree_forces(
 
         acc_sorted_blk = lax.fori_loop(
             0,
-            ta_blk // t_blk,
+            width // t_blk,
             sub_block,
-            jnp.zeros((ta_blk, g, 3), jnp.float32),
+            jnp.zeros((width, g, 3), jnp.float32),
         )
-        # unsort within the block and commit
-        acc_unsorted = jnp.take(
+        # unsort within the block
+        return jnp.take(
             acc_sorted_blk, jnp.argsort(ord_b).astype(jnp.int32), axis=0
+        )
+
+    phase_a = phase_a_octet if use_octet else phase_a_skip
+    # Pass-1 blocks stop once <1/16 of lanes remain active: a handful of
+    # dense-core tiles otherwise hold a whole 2048-wide block in lockstep
+    # (measured 2.6-6x tail waste at N=1M disc). The stragglers restart
+    # from scratch, compacted into one narrow block with the full budget.
+    # On CPU (tests/dryrun) a single full-budget pass is used instead:
+    # the second phase-A instantiation would double the already-painful
+    # LLVM compile and the lockstep tail costs nothing off-TPU.
+    act_floor1 = ta_blk // 16 if jax.default_backend() == "tpu" else 0
+
+    def walk_block(b, carry):
+        acc_all, bad_all = carry
+        t0 = b * ta_blk
+        blo = lax.dynamic_slice(bbox_lo_d, (t0, 0), (ta_blk, 3))
+        bhi = lax.dynamic_slice(bbox_hi_d, (t0, 0), (ta_blk, 3))
+        active0 = lax.dynamic_slice(piece_len_d, (t0,), (ta_blk,)) > 0
+        lists_b, visits_b, bad_b = phase_a(
+            blo, bhi, active0, ta_blk, iter_cap, act_floor1
+        )
+        bad_all = lax.dynamic_update_slice(bad_all, bad_b, (t0,))
+        acc_unsorted = eval_block(
+            lists_b,
+            visits_b,
+            lax.dynamic_slice(tiles_d, (t0, 0, 0), (ta_blk, g, 3)),
+            lax.dynamic_slice(gid_d, (t0, 0), (ta_blk, g)),
+            ta_blk,
         )
         acc_all = lax.dynamic_update_slice(acc_all, acc_unsorted, (t0, 0, 0))
         return acc_all, bad_all
@@ -682,6 +812,36 @@ def group_tree_forces(
             jnp.zeros((t_cap,), bool),
         ),
     )
+
+    # ---- pass 2: straggler tiles, compacted into one narrow block ----
+    n2 = min(t_cap, 4 * t_blk)
+    if act_floor1 > 0 and n2 >= t_blk:
+        idx2 = jnp.nonzero(tile_bad_d, size=n2, fill_value=t_cap)[0].astype(
+            jnp.int32
+        )
+        valid2 = idx2 < t_cap
+        idx2c = jnp.minimum(idx2, t_cap - 1)
+        active2 = valid2 & (jnp.take(piece_len_d, idx2c) > 0)
+        lists2, visits2, bad2 = phase_a(
+            jnp.take(bbox_lo_d, idx2c, axis=0),
+            jnp.take(bbox_hi_d, idx2c, axis=0),
+            active2,
+            n2,
+            iter_cap,
+            0,
+        )
+        acc2 = eval_block(
+            lists2,
+            visits2,
+            jnp.take(tiles_d, idx2c, axis=0),
+            jnp.take(gid_d, idx2c, axis=0),
+            n2,
+        )
+        acc_tiles_d = acc_tiles_d.at[idx2].set(acc2, mode="drop")
+        # tiles beyond the n2 straggler capacity keep their bad flag and
+        # defer; restarted tiles clear it unless pass 2 also failed
+        tile_bad_d = tile_bad_d.at[idx2].set(bad2, mode="drop")
+
     # back to Morton tile order
     acc_tiles = jnp.take(acc_tiles_d, inv_order, axis=0)
     tile_bad = jnp.take(tile_bad_d, inv_order)

@@ -104,7 +104,15 @@ class TreeParams:
       walk_engine: phase-A traversal engine for the group walk. "skip" =
         stackless skip-pointer walk (one node visit per lockstep step).
         "octet" = child-block walk (one *opened* node per step, 8 child
-        tests per gather; needs the octet table the build then emits).
+        tests per gather; needs the octet tables the build then emits).
+      octet_capacity_factor: octet-table rows = factor * N (clamped to
+        [4096, node capacity]). Only internal (openable) nodes need a
+        row; real trees at leaf_bucket 16 use ~N/16, so the default
+        (bucket-aware: 4.0 for singleton leaves whose internal count can
+        approach the arena bound, 0.5 for small buckets, 0.25 otherwise)
+        leaves generous slack. TPU row gathers get faster the smaller
+        the table, hence the compact indexing. Overflow sets
+        TreeArrays.overflowed (fails loudly, never hangs).
     """
 
     theta: float = 0.75
@@ -114,7 +122,8 @@ class TreeParams:
     walk: str = "group"
     walk_tile: int = 256
     walk_list_cap: int = 8192
-    walk_engine: str = "skip"
+    walk_engine: str = "octet"
+    octet_capacity_factor: float | None = None
 
     @property
     def effective_capacity_factor(self) -> int:
@@ -127,6 +136,15 @@ class TreeParams:
         """Node-arena size for N particles (reference: 4N octants,
         src/sims/tree.rs:188-199)."""
         return self.effective_capacity_factor * n + 1
+
+    def octet_capacity(self, n: int) -> int:
+        """Compact octet-table rows (internal nodes only) for N particles."""
+        f = self.octet_capacity_factor
+        if f is None:
+            f = 4.0 if self.leaf_bucket == 1 else (
+                0.5 if self.leaf_bucket < 8 else 0.125
+            )
+        return min(self.capacity(n), max(4096, int(n * f)))
 
 
 class ParticleState(NamedTuple):
