@@ -368,6 +368,10 @@ def build_tree(
         col1 = jnp.where(ex, ptr_u, 0)
         col2 = jnp.where(ex, first_u - p_first, 0)
         oct_cols.extend([col0, col1, col2])
+        # comb rows are TWO-point rows ([x1 y1 z1 m1 x2 y2 z2 m2]; the
+        # group walk's member pairs fill both; node rows leave point 2 a
+        # massless far dummy — far so an exactly-coincident receiver can't
+        # produce rsqrt(0)*0 = NaN)
         pts_rows.append(
             jnp.stack(
                 [
@@ -375,10 +379,10 @@ def build_tree(
                     jnp.where(ex, row[:, 1], 0),
                     jnp.where(ex, row[:, 2], 0),
                     jnp.where(ex, row[:, 3], 0),  # mass 0 for absent
+                    jnp.full_like(u, far_bits),
                     jnp.zeros_like(u),
                     jnp.zeros_like(u),
                     jnp.zeros_like(u),
-                    jnp.full_like(u, -1),
                 ],
                 axis=1,
             )
@@ -386,18 +390,18 @@ def build_tree(
         u = jnp.where(ex, jnp.minimum(skip_u, cap), u)
     octets = jnp.stack(oct_cols, axis=1)  # (cap_oct, 24)
     # point rows at ptr*8 + slot, then [root | sentinel] (the walk appends
-    # source-particle member rows after these)
+    # source-particle member-pair rows after these)
     root_bits = lax.bitcast_convert_type(nodes[0:1, :], jnp.int32)
-    root_row = jnp.concatenate(
-        [root_bits[:, 0:4], jnp.zeros((1, 3), jnp.int32),
-         jnp.full((1, 1), -1, jnp.int32)],
+    far_tail = jnp.concatenate(
+        [jnp.full((1, 1), far_bits, jnp.int32), jnp.zeros((1, 3), jnp.int32)],
         axis=1,
     )
+    root_row = jnp.concatenate([root_bits[:, 0:4], far_tail], axis=1)
     sent_row = jnp.concatenate(
         [
             jnp.full((1, 1), far_bits, jnp.int32),
-            jnp.zeros((1, 6), jnp.int32),
-            jnp.full((1, 1), -1, jnp.int32),
+            jnp.zeros((1, 3), jnp.int32),
+            far_tail,
         ],
         axis=1,
     )

@@ -233,24 +233,54 @@ def group_tree_forces(
     # B is one uniform gather + point-mass pass, with the sentinel (zero
     # mass, far cog) contributing exactly zero.
     node_bits = lax.bitcast_convert_type(tree.nodes_f32, jnp.int32)
-    part_bits = lax.bitcast_convert_type(
-        jnp.concatenate([src_pos, src_mass[:, None]], axis=1), jnp.int32
-    )
-    part_rows = jnp.concatenate(
-        [
-            part_bits,
-            jnp.zeros((n_src, 3), jnp.int32),
-            jnp.arange(n_src, dtype=jnp.int32)[:, None],
-        ],
-        axis=1,
-    )
     if tree.octets is not None:
+        # Octet engine: ALL comb rows are TWO-point rows
+        # [x1 y1 z1 m1 x2 y2 z2 m2]. Member entries reference PAIR rows
+        # (pair j = sorted particles 2j, 2j+1), so each emission slot
+        # carries two members; left-/right-only variants (the other point
+        # a massless far dummy) cover odd run boundaries, and gids are
+        # arithmetic in the row index — no index columns anywhere.
         cap_oct = tree.octets.shape[0]
         root_pt = cap_oct * 8
         sent = cap_oct * 8 + 1
-        member_base = cap_oct * 8 + 2
-        comb_i32 = jnp.concatenate([tree.octet_pts, part_rows], axis=0)
+        pair_base = cap_oct * 8 + 2
+        n_pairs = (n_src + 1) // 2
+        member_base = 0  # unused by the octet engine
+        far_pt = jnp.concatenate(
+            [
+                jnp.full((1, 1), 1e15, jnp.float32),
+                jnp.zeros((1, 3), jnp.float32),
+            ],
+            axis=1,
+        )
+        p4 = jnp.concatenate([src_pos, src_mass[:, None]], axis=1)
+        if n_pairs * 2 > n_src:
+            p4 = jnp.concatenate([p4, far_pt], axis=0)
+        far_col = jnp.broadcast_to(far_pt, (n_pairs, 4))
+        pair_rows = jnp.concatenate(
+            [
+                p4.reshape(n_pairs, 8),
+                jnp.concatenate([p4[0::2], far_col], axis=1),  # keep 2j
+                jnp.concatenate([far_col, p4[1::2]], axis=1),  # keep 2j+1
+            ],
+            axis=0,
+        )
+        comb_i32 = jnp.concatenate(
+            [tree.octet_pts, lax.bitcast_convert_type(pair_rows, jnp.int32)],
+            axis=0,
+        )
     else:
+        part_bits = lax.bitcast_convert_type(
+            jnp.concatenate([src_pos, src_mass[:, None]], axis=1), jnp.int32
+        )
+        part_rows = jnp.concatenate(
+            [
+                part_bits,
+                jnp.zeros((n_src, 3), jnp.int32),
+                jnp.arange(n_src, dtype=jnp.int32)[:, None],
+            ],
+            axis=1,
+        )
         node_rows = jnp.concatenate(
             [node_bits[:, :7], jnp.full((cap + 1, 1), -1, jnp.int32)], axis=1
         )
@@ -283,18 +313,18 @@ def group_tree_forces(
     # The iteration budget IS the list capacity: overflow cannot happen;
     # tiles not finished within R rows are deferred to the fallback.
     use_octet = tree.octets is not None
-    # Octet emission slots per step: 8 measured best end-to-end (4 halves
-    # phase-B row padding but doubles member-streaming steps, a net loss —
-    # 718 vs 541 ms at N=1M disc). Accepted children still compact into
-    # the slots with a spill revisit so the machinery supports any K.
-    k_slots = 8
+    # Octet emission slots per step: 4, with member slots carrying PAIR
+    # rows (two members each) — the same 8-members/step streaming rate as
+    # 8 single slots at half the phase-B rows (phase B is ~half gather,
+    # ~half padded VPU lanes, so rows are the cost).
+    k_slots = 4
     if use_octet:
         # The octet body is ~450 elementwise ops per step: unrolling 8
         # steps amortizes TPU while-iteration overhead, but LLVM (the XLA
         # *CPU* backend) takes >9 min on the 8x body — tests and the
         # multichip dryrun run on CPU, so unroll shallow there.
         unroll = 8 if jax.default_backend() == "tpu" else 1
-        r_cap = -(-(4 * l_cap) // 256) * 256
+        r_cap = -(-(2 * l_cap) // 256) * 256
         iter_cap = (r_cap - k_slots) // (unroll * k_slots)
     else:
         unroll = 16
@@ -551,41 +581,62 @@ def group_tree_forces(
                         0,
                     )
                 # member drain: an open step's free emission slots carry
-                # the leading members of the chosen run — most member
+                # the leading member PAIRS of the chosen run — most member
                 # streaming rides along with traversal for free. A fully
                 # drained run turns into a same-node revisit (stay) so the
                 # mask machinery picks up the node's next candidate.
+                def pair_slot(a, lim, j):
+                    # pair j covers sorted particles (2j, 2j+1); clip to
+                    # the consumed range [a, lim) via the one-point
+                    # variants (regions: both | keep-2j | keep-2j+1)
+                    start2 = 2 * j
+                    right = start2 < a
+                    left = (start2 + 1 >= lim) & ~right
+                    reg = jnp.where(
+                        right, 2 * n_pairs, jnp.where(left, n_pairs, 0)
+                    )
+                    return jnp.where(
+                        start2 < lim, pair_base + j + reg, sent
+                    )
+
                 chose_mem = any_cand & (n_kind == 2)
                 n_emit = jnp.minimum(running_e, k_slots)
+                drain_cap = jnp.maximum(
+                    2 * (k_slots - n_emit) - (n_a & 1), 0
+                )
                 drained = jnp.where(
                     open_lane & chose_mem & ~spill,
-                    jnp.minimum(k_slots - n_emit, n_b),
+                    jnp.minimum(drain_cap, n_b),
                     0,
                 )
                 stay_drain = open_lane & (drained > 0) & (drained >= n_b)
                 n_a_eff = jnp.where(chose_mem, n_a + drained, n_a)
                 n_b_eff = jnp.where(chose_mem, n_b - drained, n_b)
+                # member lanes consume up to 2K - parity members per step
+                c_mem = jnp.minimum(ib, 2 * k_slots - (ia & 1))
                 # emission: accepted children compacted to the front,
-                # drained run members behind them; member lanes stream K
+                # drained run pairs behind them; member lanes stream pairs
                 for k in range(k_slots):
                     v = jnp.full((width,), sent, jnp.int32)
                     for c in range(8):
                         v = jnp.where(emit_l[c] & (pos[c] == k), ia * 8 + c, v)
                     v = jnp.where(
-                        (k >= n_emit) & (k - n_emit < drained),
-                        member_base + n_a + (k - n_emit),
+                        (k >= n_emit) & (drained > 0),
+                        pair_slot(n_a, n_a + drained, (n_a >> 1) + k - n_emit),
                         v,
                     )
                     row_k = jnp.where(
                         open_lane,
                         v,
                         jnp.where(
-                            mem_lane & (k < ib), member_base + ia + k, sent
+                            mem_lane,
+                            pair_slot(ia, ia + c_mem, (ia >> 1) + k),
+                            sent,
                         ),
                     )
                     step_rows.append(row_k)
                 resume_mask = im | done_bits | n_bits
-                cont = mem_lane & (ib > k_slots)
+                cont = mem_lane & (ib > c_mem)
                 descend = open_lane & any_cand & ~spill & ~stay_drain
                 push = descend & (n_cand > 1)
                 pop = (
@@ -636,12 +687,12 @@ def group_tree_forces(
                 )
                 ia = jnp.where(
                     keep,
-                    jnp.where(cont, ia + k_slots, ia),
+                    jnp.where(cont, ia + c_mem, ia),
                     jnp.where(descend, n_a_eff, jnp.where(pop, p_a, 0)),
                 )
                 ib = jnp.where(
                     keep,
-                    jnp.where(cont, ib - k_slots, ib),
+                    jnp.where(cont, ib - c_mem, ib),
                     jnp.where(descend, n_b_eff, jnp.where(pop, p_b, 0)),
                 )
                 ic = jnp.where(
@@ -732,26 +783,61 @@ def group_tree_forces(
                 raw = jnp.take(
                     comb_i32, idx_c.reshape(-1), axis=0
                 ).reshape(t_blk, chunk, 8)
-                rows = lax.bitcast_convert_type(raw[:, :, :4], jnp.float32)
-                jcol = raw[:, :, 7]
-                # ONE uniform point-mass pass (tree.wgsl:66-67): node rows
-                # and member rows are both (pos, mass) points; self pairs
-                # (member row index == receiver gid) are excluded exactly
-                # like the naive kernel's i == index skip (naive.wgsl:
-                # 30-32); the sentinel row's zero mass contributes zero.
-                dx = rows[:, None, :, 0] - px  # (TB, G, C)
-                dy = rows[:, None, :, 1] - py
-                dz = rows[:, None, :, 2] - pz
-                r2 = dx * dx + dy * dy + dz * dz
-                is_self = jcol[:, None, :] == blk_gid[:, :, None]
-                r2s = jnp.where(is_self, 1.0, r2)
-                inv_r = lax.rsqrt(r2s)
-                r = r2s * inv_r
-                w = rows[:, None, :, 3] * gdt * inv_r / (r2s * r + e)
-                w = jnp.where(is_self, 0.0, w)
-                ax = jnp.sum(w * dx, axis=2)
-                ay = jnp.sum(w * dy, axis=2)
-                az = jnp.sum(w * dz, axis=2)
+                rows = lax.bitcast_convert_type(
+                    raw[:, :, : (8 if use_octet else 4)], jnp.float32
+                )
+
+                # One uniform point-mass formula (tree.wgsl:66-67); self
+                # pairs (member == receiver gid) are excluded exactly like
+                # the naive kernel's i == index skip (naive.wgsl:30-32);
+                # zero-mass far dummies/sentinels contribute exactly zero.
+                def point(xc, yc, zc, mc, is_self):
+                    dx = xc[:, None, :] - px  # (TB, G, C)
+                    dy = yc[:, None, :] - py
+                    dz = zc[:, None, :] - pz
+                    r2 = dx * dx + dy * dy + dz * dz
+                    r2s = jnp.where(is_self, 1.0, r2)
+                    inv_r = lax.rsqrt(r2s)
+                    r = r2s * inv_r
+                    w = mc[:, None, :] * gdt * inv_r / (r2s * r + e)
+                    w = jnp.where(is_self, 0.0, w)
+                    return (
+                        jnp.sum(w * dx, axis=2),
+                        jnp.sum(w * dy, axis=2),
+                        jnp.sum(w * dz, axis=2),
+                    )
+
+                if use_octet:
+                    # two-point rows; member gids are arithmetic in the
+                    # pair row index (pair j = particles 2j, 2j+1; the
+                    # keep-one boundary variants leave the other point a
+                    # massless far dummy, so excluding it is a no-op)
+                    jj = idx_c - pair_base
+                    is_pair = jj >= 0
+                    rel = jj - n_pairs * (jj // n_pairs)
+                    g1 = 2 * rel
+                    s1 = is_pair[:, None, :] & (
+                        g1[:, None, :] == blk_gid[:, :, None]
+                    )
+                    s2 = is_pair[:, None, :] & (
+                        (g1 + 1)[:, None, :] == blk_gid[:, :, None]
+                    )
+                    ax1, ay1, az1 = point(
+                        rows[:, :, 0], rows[:, :, 1], rows[:, :, 2],
+                        rows[:, :, 3], s1,
+                    )
+                    ax2, ay2, az2 = point(
+                        rows[:, :, 4], rows[:, :, 5], rows[:, :, 6],
+                        rows[:, :, 7], s2,
+                    )
+                    ax, ay, az = ax1 + ax2, ay1 + ay2, az1 + az2
+                else:
+                    jcol = raw[:, :, 7]
+                    is_self = jcol[:, None, :] == blk_gid[:, :, None]
+                    ax, ay, az = point(
+                        rows[:, :, 0], rows[:, :, 1], rows[:, :, 2],
+                        rows[:, :, 3], is_self,
+                    )
                 return c0 + chunk, acc + jnp.stack([ax, ay, az], axis=2)
 
             acc_blk0 = jnp.zeros((t_blk, g, 3), jnp.float32)

@@ -326,6 +326,8 @@ def let_memory_bytes(
     r = let_cap
     g = tp.walk_tile
     t_cap = -(-n_l // g) + max(8, 2 * -(-n_l // g))
+    # LET forests carry no octet tables, so the walk runs the skip engine
+    # (2x l_cap rows); the octet engine's 4x budget applies single-chip
     rows = walk_list_rows or (-(-(2 * tp.walk_list_cap) // 256) * 256)
     ta_blk = min(2048, t_cap)
     sizes = {
