@@ -108,3 +108,23 @@ def test_group_and_per_particle_walks_agree_at_small_theta():
     n = 256
     grp, per, _, _ = _forces(_state(jax.random.key(4), n), 0.1, n)
     np.testing.assert_allclose(grp, per, rtol=1e-3, atol=1e-7)
+
+
+def test_two_pass_straggler_scheduler_exact():
+    """The TPU-only two-pass scheduler (pass-1 early stop at the active
+    floor + compacted straggler re-walk with a 2x row budget) must
+    reproduce the exact theta=0 sum. Forced on via the testing hook
+    since the CPU backend normally runs one pass."""
+    from wgpu_n_body_tpu.ops import tree_walk_group as twg
+
+    n = 257  # odd N exercises pair-row boundary variants in both passes
+    st = _state(jax.random.key(11), n)
+    twg._FORCE_TWO_PASS = True
+    try:
+        grp, _, exact, d = _forces(
+            st, 0.0, n, tile=16, bucket=64, engine="octet"
+        )
+    finally:
+        twg._FORCE_TWO_PASS = False
+    assert d == 0
+    np.testing.assert_allclose(grp, exact, rtol=2e-4, atol=1e-8)

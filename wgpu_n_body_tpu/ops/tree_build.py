@@ -304,9 +304,9 @@ def build_tree(
         .set(kk, mode="drop")
     )
 
-    # one combined per-node row so each chain hop is a single row gather:
-    # [cog x/y/z bits, mass bits, lvl, first, skip, no_child, irank,
-    #  cell x/y/z, pad...]
+    # one combined per-node row for the payload gathers (the chained part
+    # of the hop reads only the 4-byte ``skip`` array, see below):
+    # [cog x/y/z bits, mass bits, lvl, first, no_child, irank, cell x/y/z]
     pos_first = jnp.take(pos, pon_c, axis=0)
     cells_nodes = morton.quantize(pos_first, bound, depth).astype(jnp.int32)
     chain_tbl = jnp.concatenate(
@@ -316,33 +316,41 @@ def build_tree(
             ),
             lvl_of[:, None],
             first[:cap, None],
-            skip[:cap, None],
             no_child_k.astype(jnp.int32)[:, None],
             irank[:, None],
             cells_nodes,
         ],
         axis=1,
-    )  # (cap, 12)
-    # sentinel chain row: non-existent (skip column irrelevant)
-    chain_sent = jnp.zeros((1, 12), jnp.int32)
+    )  # (cap, 11)
+    chain_sent = jnp.zeros((1, 11), jnp.int32)
     chain_tbl = jnp.concatenate([chain_tbl, chain_sent], axis=0)
 
     p_skip = jnp.take(skip, jnp.minimum(p_of, cap))
     p_first = jnp.take(first, jnp.minimum(p_of, cap))
+    # Sibling skip-chain: the DEPENDENT part of the hop only needs the
+    # 4-byte skip column, so the chain rides 8 narrow gathers; the eight
+    # 48-byte payload row-gathers below are then mutually independent
+    # (XLA overlaps them), ~2x faster than chaining the wide rows.
     u = jnp.minimum(p_of + 1, cap)
+    u_c, ex_c = [], []
+    for c in range(8):
+        ex = u < p_skip
+        u_c.append(u)
+        ex_c.append(ex)
+        if c < 7:
+            u = jnp.where(ex, jnp.minimum(jnp.take(skip, u), cap), u)
     oct_cols = []
     pts_rows = []
     far_bits = lax.bitcast_convert_type(jnp.float32(1e15), jnp.int32)
     for c in range(8):
-        ex = u < p_skip
-        row = jnp.take(chain_tbl, u, axis=0)  # (cap_oct, 16)
+        ex = ex_c[c]
+        row = jnp.take(chain_tbl, u_c[c], axis=0)  # (cap_oct, 11)
         ccog = lax.bitcast_convert_type(row[:, 0:3], jnp.float32)
         lvl_u = row[:, 4]
         first_u = row[:, 5]
-        skip_u = row[:, 6]
-        term_u = row[:, 7] > 0
-        ptr_u = row[:, 8]
-        cell_u = row[:, 9:12]
+        term_u = row[:, 6] > 0
+        ptr_u = row[:, 7]
+        cell_u = row[:, 8:11]
         sh = jnp.clip(depth - lvl_u, 0, 31).astype(jnp.uint32)
         cell_l = (cell_u.astype(jnp.uint32) >> sh[:, None]).astype(jnp.float32)
         w_l = root_width * jnp.exp2(-lvl_u.astype(jnp.float32))
@@ -379,15 +387,14 @@ def build_tree(
                     jnp.where(ex, row[:, 1], 0),
                     jnp.where(ex, row[:, 2], 0),
                     jnp.where(ex, row[:, 3], 0),  # mass 0 for absent
-                    jnp.full_like(u, far_bits),
-                    jnp.zeros_like(u),
-                    jnp.zeros_like(u),
-                    jnp.zeros_like(u),
+                    jnp.full_like(ex, far_bits, dtype=jnp.int32),
+                    jnp.zeros_like(ex, dtype=jnp.int32),
+                    jnp.zeros_like(ex, dtype=jnp.int32),
+                    jnp.zeros_like(ex, dtype=jnp.int32),
                 ],
                 axis=1,
             )
         )
-        u = jnp.where(ex, jnp.minimum(skip_u, cap), u)
     octets = jnp.stack(oct_cols, axis=1)  # (cap_oct, 24)
     # point rows at ptr*8 + slot, then [root | sentinel] (the walk appends
     # source-particle member-pair rows after these)

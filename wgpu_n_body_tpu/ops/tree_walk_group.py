@@ -83,8 +83,15 @@ class GroupWalkStats(NamedTuple):
 # traversal vs evaluation. Never set in production paths.
 _DEBUG_SKIP_EVAL = False
 
+# Testing hook: the two-pass straggler scheduler (early pass-1 stop +
+# compacted wide-emission re-walk) normally runs only on TPU — the second
+# phase-A instantiation doubles the painful LLVM (XLA CPU) compile. Tests
+# set this True to exercise the pass-2 path (incl. its wider k_slots) on
+# the CPU backend.
+_FORCE_TWO_PASS = False
 
-def _tile_assignment(keys, n, depth, g_tile):
+
+def _tile_assignment(keys, n, depth, g_tile, ta_blk_max=2048):
     """Split the sorted particle axis into density-adaptive pieces.
 
     Each particle's *tile cell* is its deepest ancestor Morton cell still
@@ -133,7 +140,7 @@ def _tile_assignment(keys, n, depth, g_tile):
     t_cap = -(-t_cap // t_blk) * t_blk
     # phase-A traversal block: tiles are grouped by DENSITY (lstar), so a
     # block's lockstep iteration count is the max over similar tiles
-    ta_blk = min(2048, t_cap)
+    ta_blk = min(ta_blk_max, t_cap)
     t_cap = -(-t_cap // ta_blk) * ta_blk
     return tile_id, lstar, t_cap, t_blk, ta_blk
 
@@ -169,7 +176,7 @@ def group_tree_forces(
     e = params.e
 
     tile_id_raw, lstar, t_cap, t_blk, ta_blk = _tile_assignment(
-        keys, n, depth, g
+        keys, n, depth, g, tree_params.walk_block
     )
     spilled = tile_id_raw >= t_cap  # merged into the last tile id; deferred
     tile_id = jnp.minimum(tile_id_raw, t_cap - 1)
@@ -316,8 +323,16 @@ def group_tree_forces(
     # Octet emission slots per step: 4, with member slots carrying PAIR
     # rows (two members each) — the same 8-members/step streaming rate as
     # 8 single slots at half the phase-B rows (phase B is ~half gather,
-    # ~half padded VPU lanes, so rows are the cost).
+    # ~half padded VPU lanes, so rows are the cost). Wider emission for
+    # the straggler pass was measured (2026-08, k2=16 + 2x rows): the
+    # heaviest tiles are LIST-CAPACITY bound, so wide slots mostly burn
+    # row budget on sentinel padding — at N=2M theta=0.5 the budget
+    # exhausted and mass-deferred to the per-particle fallback (the
+    # 16x-cliff CLAUDE.md warns about). Keep k=4 in both passes; the
+    # straggler pass instead gets a 2x ROW budget (real-row capacity
+    # +2x), which only costs memory on the narrow pass-2 arrays.
     k_slots = 4
+    k_slots2 = 4
     if use_octet:
         # The octet body is ~450 elementwise ops per step: unrolling 8
         # steps amortizes TPU while-iteration overhead, but LLVM (the XLA
@@ -326,12 +341,19 @@ def group_tree_forces(
         unroll = 8 if jax.default_backend() == "tpu" else 1
         r_cap = -(-(2 * l_cap) // 256) * 256
         iter_cap = (r_cap - k_slots) // (unroll * k_slots)
+        # straggler-pass row budget: the pass is narrow (n2 tiles), so a
+        # bigger lists array is cheap memory-wise; the eval cost of the
+        # extra rows is the real trade (see TreeParams docstring)
+        r_cap2 = tree_params.walk_straggler_budget * r_cap
+        iter_cap2 = (r_cap2 - k_slots2) // (unroll * k_slots2)
     else:
         unroll = 16
         # rows: multiple of 256 so the eval chunk (min(256, r_cap)) always
         # divides it and unroll (16) always divides the chunk
         r_cap = -(-(2 * l_cap) // 256) * 256
         iter_cap = r_cap // unroll
+        r_cap2 = r_cap
+        iter_cap2 = iter_cap
 
     chunk = min(256, r_cap)
     if r_cap % chunk or t_cap % t_blk or ta_blk % t_blk:
@@ -404,7 +426,9 @@ def group_tree_forces(
         )
         return lists_b, visits_b, cur_b < tree.num_nodes
 
-    def phase_a_octet(blo, bhi, active0, width, budget, act_floor):
+    def phase_a_octet(
+        blo, bhi, active0, width, budget, act_floor, k_slots, rows_cap
+    ):
         """Octet engine: one *opened* node (8 child tests) per step.
 
         Per-lane item registers: kind (0 idle / 1 open / 2 members);
@@ -441,7 +465,7 @@ def group_tree_forces(
         im0 = jnp.zeros((width,), jnp.int32)
         iw0 = jnp.broadcast_to(r_row[WIDTH], (width,))
         zf0 = jnp.zeros((width,), jnp.float32)  # root cell center: origin
-        lists0 = jnp.full((r_cap, width), sent, jnp.int32)
+        lists0 = jnp.full((rows_cap, width), sent, jnp.int32)
         lists0 = lax.dynamic_update_slice(
             lists0,
             jnp.where(active0 & r_acc, root_pt, sent)[None, :],
@@ -859,7 +883,12 @@ def group_tree_forces(
             acc_sorted_blk, jnp.argsort(ord_b).astype(jnp.int32), axis=0
         )
 
-    phase_a = phase_a_octet if use_octet else phase_a_skip
+    def phase_a(blo, bhi, active0, width, budget, act_floor, k, rows_cap):
+        if use_octet:
+            return phase_a_octet(
+                blo, bhi, active0, width, budget, act_floor, k, rows_cap
+            )
+        return phase_a_skip(blo, bhi, active0, width, budget, act_floor)
     # Pass-1 blocks stop once <1/16 of lanes remain active: a handful of
     # dense-core tiles otherwise hold a whole 2048-wide block in lockstep
     # (measured 2.6-6x tail waste at N=1M disc). The stragglers restart
@@ -867,7 +896,11 @@ def group_tree_forces(
     # On CPU (tests/dryrun) a single full-budget pass is used instead:
     # the second phase-A instantiation would double the already-painful
     # LLVM compile and the lockstep tail costs nothing off-TPU.
-    act_floor1 = ta_blk // 16 if jax.default_backend() == "tpu" else 0
+    act_floor1 = (
+        ta_blk // 16
+        if (jax.default_backend() == "tpu" or _FORCE_TWO_PASS)
+        else 0
+    )
 
     def walk_block(b, carry):
         acc_all, bad_all = carry
@@ -876,7 +909,7 @@ def group_tree_forces(
         bhi = lax.dynamic_slice(bbox_hi_d, (t0, 0), (ta_blk, 3))
         active0 = lax.dynamic_slice(piece_len_d, (t0,), (ta_blk,)) > 0
         lists_b, visits_b, bad_b = phase_a(
-            blo, bhi, active0, ta_blk, iter_cap, act_floor1
+            blo, bhi, active0, ta_blk, iter_cap, act_floor1, k_slots, r_cap
         )
         bad_all = lax.dynamic_update_slice(bad_all, bad_b, (t0,))
         acc_unsorted = eval_block(
@@ -900,7 +933,16 @@ def group_tree_forces(
     )
 
     # ---- pass 2: straggler tiles, compacted into one narrow block ----
-    n2 = min(t_cap, 4 * t_blk)
+    # Width covers the worst case pass 1 can produce: every block stops
+    # at its active floor, leaving <= act_floor1 unfinished lanes each
+    # (budget exhaustion can leave more, but those tiles re-fail pass 2
+    # anyway). Undersizing this is a CLIFF, not a trim: tiles beyond n2
+    # keep their bad flag and mass-defer to the per-particle fallback —
+    # at N=4M uniform (24 blocks x floor 128 = 3072 possible stragglers
+    # vs the old 4*t_blk = 1024 cap) that turned ~3 s steps into ~21 s.
+    n_blocks = t_cap // ta_blk
+    n2_need = max(4 * t_blk, n_blocks * act_floor1)
+    n2 = min(t_cap, -(-n2_need // t_blk) * t_blk)
     if act_floor1 > 0 and n2 >= t_blk:
         idx2 = jnp.nonzero(tile_bad_d, size=n2, fill_value=t_cap)[0].astype(
             jnp.int32
@@ -913,8 +955,10 @@ def group_tree_forces(
             jnp.take(bbox_hi_d, idx2c, axis=0),
             active2,
             n2,
-            iter_cap,
+            iter_cap2,
             0,
+            k_slots2,
+            r_cap2,
         )
         acc2 = eval_block(
             lists2,

@@ -101,6 +101,18 @@ class TreeParams:
         to a multiple of 256 internally). List rows hold theta-accepted
         nodes AND expanded members of opened leaf buckets; tiles that
         exhaust 2x this budget defer to the per-particle walk.
+      walk_block: phase-A lockstep block width (tiles traversed together;
+        rounded to cover walk-tile blocks). Traversal steps are gather-
+        LATENCY bound (~tens of us regardless of practical width), so
+        wider blocks amortize per-step cost across more tiles — until
+        lockstep tail waste (block cost = max over its tiles) wins.
+        Swept on v5e 2026-08 (post straggler-budget fix): 4096 measures
+        within noise of 2048 at N=1-2M; 8192 is ~25% slower.
+      walk_straggler_budget: row-budget multiplier for the straggler
+        restart pass (the compacted pass-2 re-walk of tiles that hit the
+        pass-1 active floor). >1 lets extreme-density tiles finish in the
+        group walk instead of deferring to the per-particle fallback, at
+        the cost of proportionally more pass-2 evaluation rows.
       walk_engine: phase-A traversal engine for the group walk. "skip" =
         stackless skip-pointer walk (one node visit per lockstep step).
         "octet" = child-block walk (one *opened* node per step, 8 child
@@ -122,6 +134,8 @@ class TreeParams:
     walk: str = "group"
     walk_tile: int = 256
     walk_list_cap: int = 8192
+    walk_block: int = 2048
+    walk_straggler_budget: int = 2
     walk_engine: str = "octet"
     octet_capacity_factor: float | None = None
 
