@@ -77,13 +77,21 @@ class TreeArrays(NamedTuple):
                 packed columns. None for hand-assembled trees (LET
                 forests, host oracle); walks then use the skip-pointer
                 phase A.
-    octet_pts:  (octet_capacity*8 + 2, 8) int32 or None — comb-table
-                point rows matched to octets: row ptr*8 + slot is that
-                child's [cog xyz bits, mass bits, 0,0,0, -1], followed by
-                the root's row and an inert far sentinel. The group
-                walk's phase B gathers these by the list entries the
-                octet engine emits (ptr*8 + slot), so no node-id column
-                is needed anywhere.
+    octet_pts:  (octet_capacity*12 + 2, 8) int32 or None — comb-table
+                TWO-point rows matched to octets. Row ptr*8 + slot is
+                child `slot`'s single row [cog xyz bits, mass bits |
+                far-dummy point], rows octet_capacity*8 + ptr*4 + p are
+                SIBLING-PAIR rows holding children 2p and 2p+1 of octet
+                ptr in both points (absent children are far dummies, so
+                the pair rows are a pure reshape of the single rows).
+                When both siblings of a pair are theta-accepted the walk
+                emits the one pair row instead of two singles — phase-B
+                rows halve for the common both-accepted case and an open
+                step's <=8 accepted children always fit the 4 emission
+                slots (a pair contributes at most one row). The root's
+                row and an inert far sentinel follow. Phase B gathers
+                these by the list entries the octet engine emits, so no
+                node-id column is needed anywhere.
 
     ``NO_CHILD`` column is 3-state: 0 = internal, 1 = terminal cell whose
     count fits leaf_bucket (direct-summable), 2 = terminal cell at
@@ -412,14 +420,21 @@ def build_tree(
         ],
         axis=1,
     )
+    # sibling-pair node rows: children (2p, 2p+1) of each octet in one
+    # two-point row (see TreeArrays.octet_pts docstring). Absent children
+    # already carry far-dummy mass-0 points, so pairing is a pure reshape
+    # of the single rows' first four columns.
+    quad = jnp.stack([r[:, 0:4] for r in pts_rows], axis=1)  # (cap_oct,8,4)
+    sib_pairs = quad.reshape(cap_oct * 4, 8)
     octet_pts = jnp.concatenate(
         [
             jnp.stack(pts_rows, axis=1).reshape(cap_oct * 8, 8),
+            sib_pairs,
             root_row,
             sent_row,
         ],
         axis=0,
-    )  # (cap_oct*8 + 2, 8)
+    )  # (cap_oct*12 + 2, 8)
 
     return TreeArrays(
         nodes_f32=nodes,

@@ -235,7 +235,8 @@ def group_tree_forces(
     #   a receiver gid).
     # Skip engine: node k's point-mass row IS row k; row `cap` is the
     # sentinel. Octet engine: node rows come from the build's child-
-    # indexed octet_pts (entry ptr*8 + slot; root and sentinel follow).
+    # indexed octet_pts (entry ptr*8 + slot for singles, sibling-pair
+    # rows behind them; root and sentinel follow).
     # Either way phase A emits row ids straight into the lists and phase
     # B is one uniform gather + point-mass pass, with the sentinel (zero
     # mass, far cog) contributing exactly zero.
@@ -248,9 +249,10 @@ def group_tree_forces(
         # a massless far dummy) cover odd run boundaries, and gids are
         # arithmetic in the row index — no index columns anywhere.
         cap_oct = tree.octets.shape[0]
-        root_pt = cap_oct * 8
-        sent = cap_oct * 8 + 1
-        pair_base = cap_oct * 8 + 2
+        spair_base = cap_oct * 8  # sibling-pair node rows (build-emitted)
+        root_pt = cap_oct * 12
+        sent = cap_oct * 12 + 1
+        pair_base = cap_oct * 12 + 2
         n_pairs = (n_src + 1) // 2
         member_base = 0  # unused by the octet engine
         far_pt = jnp.concatenate(
@@ -320,17 +322,20 @@ def group_tree_forces(
     # The iteration budget IS the list capacity: overflow cannot happen;
     # tiles not finished within R rows are deferred to the fallback.
     use_octet = tree.octets is not None
-    # Octet emission slots per step: 4, with member slots carrying PAIR
-    # rows (two members each) — the same 8-members/step streaming rate as
-    # 8 single slots at half the phase-B rows (phase B is ~half gather,
-    # ~half padded VPU lanes, so rows are the cost). Wider emission for
-    # the straggler pass was measured (2026-08, k2=16 + 2x rows): the
-    # heaviest tiles are LIST-CAPACITY bound, so wide slots mostly burn
-    # row budget on sentinel padding — at N=2M theta=0.5 the budget
-    # exhausted and mass-deferred to the per-particle fallback (the
-    # 16x-cliff CLAUDE.md warns about). Keep k=4 in both passes; the
-    # straggler pass instead gets a 2x ROW budget (real-row capacity
-    # +2x), which only costs memory on the narrow pass-2 arrays.
+    # Octet emission slots per step: 4, every slot a TWO-point row —
+    # member slots carry member-PAIR rows and theta-accepted sibling
+    # pairs share one build-emitted pair row (see phase_a_octet), so a
+    # slot streams up to two entities and 8 accepted children always
+    # fit. Phase B is ~half gather, ~half padded VPU lanes: ROWS are the
+    # cost, so two-entity rows halve it. Wider emission was measured
+    # (2026-08, k2=16 + 2x rows): the heaviest tiles are LIST-CAPACITY
+    # bound, so wide slots mostly burn row budget on sentinel padding —
+    # at N=2M theta=0.5 the budget exhausted and mass-deferred to the
+    # per-particle fallback (the 16x-cliff CLAUDE.md warns about).
+    # Narrower k trades phase-B rows for phase-A steps (host sim k=2:
+    # rows -27%, steps +52% — a net loss at ~30 us/step). Keep k=4 in
+    # both passes; the straggler pass instead gets a bigger ROW budget
+    # (TreeParams.walk_straggler_budget), cheap on the narrow pass-2.
     k_slots = 4
     k_slots2 = 4
     if use_octet:
@@ -556,12 +561,34 @@ def group_tree_forces(
                 # filled with members of the chosen run)
                 open_lane = act & is_open
                 mem_lane = act & is_mem
+                # Sibling-pair emission units: when children (2p, 2p+1)
+                # are BOTH accepted, ONE pre-built pair row carries them
+                # (build rows spair_base + ptr*4 + p), halving phase-B
+                # rows for the common both-accepted case. A pair
+                # contributes at most one unit, so an open step's
+                # accepted children always fit k_slots=4 — acceptance
+                # alone can no longer spill.
+                both_l = [emit_l[2 * p] & emit_l[2 * p + 1] for p in range(4)]
+                unit_l = [
+                    emit_l[c] if c % 2 == 0 else emit_l[c] & ~both_l[c // 2]
+                    for c in range(8)
+                ]
                 pos = []
                 running_e = jnp.zeros((width,), jnp.int32)
                 for c in range(8):
                     pos.append(running_e)
-                    running_e = running_e + emit_l[c]
+                    running_e = running_e + unit_l[c]
                 spill = open_lane & (running_e > k_slots)
+                # emitted child c places iff its carrying unit placed
+                placed = []
+                for c in range(8):
+                    if c % 2 == 0:
+                        placed.append(unit_l[c] & (pos[c] < k_slots))
+                    else:
+                        placed.append(
+                            (both_l[c // 2] & placed[c - 1])
+                            | (unit_l[c] & (pos[c] < k_slots))
+                        )
                 # next open/member child = lowest candidate slot, via a
                 # descending select chain
                 n_kind = jnp.zeros((width,), jnp.int32)
@@ -600,7 +627,7 @@ def group_tree_forces(
                     # im), or accepted AND emitted this step; spilled
                     # accepted children stay unprocessed for the revisit
                     done_bits = done_bits | jnp.where(
-                        ~exists[c] | (emit_l[c] & (pos[c] < k_slots)),
+                        ~exists[c] | placed[c],
                         jnp.int32(1 << c),
                         0,
                     )
@@ -643,7 +670,15 @@ def group_tree_forces(
                 for k in range(k_slots):
                     v = jnp.full((width,), sent, jnp.int32)
                     for c in range(8):
-                        v = jnp.where(emit_l[c] & (pos[c] == k), ia * 8 + c, v)
+                        if c % 2 == 0:
+                            rid = jnp.where(
+                                both_l[c // 2],
+                                spair_base + ia * 4 + c // 2,
+                                ia * 8 + c,
+                            )
+                        else:
+                            rid = ia * 8 + c
+                        v = jnp.where(unit_l[c] & (pos[c] == k), rid, v)
                     v = jnp.where(
                         (k >= n_emit) & (drained > 0),
                         pair_slot(n_a, n_a + drained, (n_a >> 1) + k - n_emit),
