@@ -23,11 +23,12 @@ def _state(key, n):
     )
 
 
-def _forces(st, theta, n, tile=32, l_cap=2048, bucket=16, engine="skip"):
+def _forces(st, theta, n, tile=32, l_cap=2048, bucket=16, engine="skip",
+            **extra):
     params = SimParams(particle_num=n, g=1e-3)
     tp = TreeParams(
         theta=theta, max_depth=10, walk_tile=tile, walk_list_cap=l_cap,
-        leaf_bucket=bucket, walk_engine=engine,
+        leaf_bucket=bucket, walk_engine=engine, **extra,
     )
     ss, bound, keys = morton_sort(st, tp.max_depth)
     tree = build_tree(ss, keys, bound, tp)
@@ -121,10 +122,12 @@ def test_two_pass_straggler_scheduler_exact():
     st = _state(jax.random.key(11), n)
     twg._FORCE_TWO_PASS = True
     try:
-        grp, _, exact, d = _forces(
-            st, 0.0, n, tile=16, bucket=64, engine="octet"
-        )
+        for slots2 in (4, 8):  # 8 = wide straggler emission
+            grp, _, exact, d = _forces(
+                st, 0.0, n, tile=16, bucket=64, engine="octet",
+                walk_straggler_slots=slots2,
+            )
+            assert d == 0
+            np.testing.assert_allclose(grp, exact, rtol=2e-4, atol=1e-8)
     finally:
         twg._FORCE_TWO_PASS = False
-    assert d == 0
-    np.testing.assert_allclose(grp, exact, rtol=2e-4, atol=1e-8)

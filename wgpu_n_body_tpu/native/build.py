@@ -112,7 +112,7 @@ class HostOctree(NamedTuple):
 
 
 def build_host_tree(
-    pos: np.ndarray, mass: np.ndarray, cap_factor: int = 4
+    pos: np.ndarray, mass: np.ndarray, cap_factor: float = 4.0
 ) -> HostOctree:
     """Build the octree on the host CPU (reference tree.rs semantics)."""
     _compile_and_load()
@@ -121,7 +121,7 @@ def build_host_tree(
     pos = np.ascontiguousarray(pos, np.float32)
     mass = np.ascontiguousarray(mass, np.float32)
     n = pos.shape[0]
-    cap = cap_factor * max(n, 2) + 1
+    cap = int(cap_factor * max(n, 2)) + 1
     octants = np.zeros((cap, OCTANT_WORDS), np.uint32)
     root_width = np.zeros((1,), np.float32)
     m = _LIB.nbody_build_tree(

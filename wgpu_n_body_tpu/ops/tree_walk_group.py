@@ -334,10 +334,12 @@ def group_tree_forces(
     # per-particle fallback (the 16x-cliff CLAUDE.md warns about).
     # Narrower k trades phase-B rows for phase-A steps (host sim k=2:
     # rows -27%, steps +52% — a net loss at ~30 us/step). Keep k=4 in
-    # both passes; the straggler pass instead gets a bigger ROW budget
-    # (TreeParams.walk_straggler_budget), cheap on the narrow pass-2.
+    # pass 1; the straggler pass gets a bigger ROW budget
+    # (TreeParams.walk_straggler_budget) and optionally wider slots
+    # (walk_straggler_slots) — with eval-side compaction the padding
+    # from wide slots costs row budget only, not phase-B time.
     k_slots = 4
-    k_slots2 = 4
+    k_slots2 = tree_params.walk_straggler_slots if use_octet else 4
     if use_octet:
         # The octet body is ~450 elementwise ops per step: unrolling 8
         # steps amortizes TPU while-iteration overhead, but LLVM (the XLA
@@ -360,7 +362,14 @@ def group_tree_forces(
         r_cap2 = r_cap
         iter_cap2 = iter_cap
 
-    chunk = min(256, r_cap)
+    # Eval chunk: each eval_body iteration has fixed cost (launch +
+    # slice overhead) on top of its gather+VPU volume, so bigger chunks
+    # amortize it; 512 halves the iteration count of 256 at identical
+    # gather/VPU volume (sub-block lists round up to chunk granularity —
+    # the extra padding is sentinel rows). Must divide r_cap (the
+    # clamped dynamic_slice would otherwise re-read real rows and
+    # double-count); fall back to 256 for odd walk_list_cap values.
+    chunk = min(512 if r_cap % 512 == 0 else 256, r_cap)
     if r_cap % chunk or t_cap % t_blk or ta_blk % t_blk:
         raise ValueError(
             f"internal tiling mismatch: walk_list_cap={l_cap} -> r_cap="
@@ -811,6 +820,22 @@ def group_tree_forces(
         N=4M). Within the block, tiles are sorted by descending list
         length so each t_blk sub-block chunks only to its own max.
         """
+        # Compact each lane's list before evaluating: row order is
+        # irrelevant to the force sum (phase B is a pure accumulation;
+        # self-exclusion keys on row VALUES), so one per-lane sort pushes
+        # the interleaved sentinel padding (~44% of slots, from the fixed
+        # k_slots emission stride) to the tail, and the per-sub-block
+        # chunk bound shrinks from emitted SLOTS to REAL rows. Sentinel
+        # ids are remapped to INT32_MAX for the sort because real ids
+        # exist on both sides of `sent` (member/pair rows sit above it).
+        big = jnp.int32(0x7FFFFFFF)
+        lists_b = lax.sort(
+            jnp.where(lists_b == sent, big, lists_b),
+            dimension=0,
+            is_stable=False,
+        )
+        visits_b = jnp.sum((lists_b != big).astype(jnp.int32), axis=0)
+        lists_b = jnp.where(lists_b == big, sent, lists_b)
         ord_b = jnp.argsort(-visits_b).astype(jnp.int32)
         lists_bs = jnp.take(lists_b, ord_b, axis=1)
         visits_bs = jnp.take(visits_b, ord_b)

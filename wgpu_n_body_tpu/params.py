@@ -79,12 +79,16 @@ class TreeParams:
         deep enough that real float32 data always separates. Cells still
         multi-body at depth D are treated as terminal point masses.
       node_capacity_factor: tree arena size = factor * N nodes; None
-        (default) resolves to the reference's 4N (src/sims/tree.rs:188-199)
-        for singleton leaves and 2N for bucketed leaves (every non-root
-        node then has a parent run of > leaf_bucket particles, so real
-        trees stay well under N nodes; pathological clustering overflows
-        loudly via TreeArrays.overflowed instead of hanging). Smaller
-        arenas cut build-emission work and walk-table memory.
+        (default) resolves bucket-aware: the reference's 4N
+        (src/sims/tree.rs:188-199) for singleton leaves, 1.0 for small
+        buckets, 0.5 for bucket >= 8 (measured trees use ~0.21-0.23N at
+        bucket 16 even on the clustered disc scene, so 0.5 keeps >2x
+        slack; pathological clustering overflows loudly via
+        TreeArrays.overflowed instead of hanging). The node-emission
+        stage of the build runs over the WHOLE arena (gathers + row
+        assembly are cap-sized), so arena size is a first-order build
+        cost: shrinking 2N -> 0.5N cut build(nodes) ~335 -> ~100 ms at
+        N=2M on v5e.
       leaf_bucket: stop subdividing cells holding <= leaf_bucket
         particles. Buckets that pass the theta test are accepted as point
         masses — exactly what the reference does with the same cell — and
@@ -113,6 +117,15 @@ class TreeParams:
         pass-1 active floor). >1 lets extreme-density tiles finish in the
         group walk instead of deferring to the per-particle fallback, at
         the cost of proportionally more pass-2 evaluation rows.
+      walk_straggler_slots: emission slots per step in the straggler
+        pass (octet engine only; pass 1 stays at 4). Wider slots stream
+        the pass-2 dense-core tiles in fewer lockstep steps at the cost
+        of more sentinel padding in their lists; since the eval compacts
+        padding away, the trade is steps vs pass-2 ROW BUDGET (pad can
+        exhaust walk_straggler_budget*rows and mass-defer — the 16x
+        cliff). Measured on v5e (2026-08): 8 is a clear win over 4 at
+        both N=2M theta=0.5 (2.06 -> 2.00 s) and N=1M theta=0.75
+        (806 -> 658 ms); host sim shows -23% pass-2 steps.
       walk_engine: phase-A traversal engine for the group walk. "skip" =
         stackless skip-pointer walk (one node visit per lockstep step).
         "octet" = child-block walk (one *opened* node per step, 8 child
@@ -129,27 +142,36 @@ class TreeParams:
 
     theta: float = 0.75
     max_depth: int = 16
-    node_capacity_factor: int | None = None
+    node_capacity_factor: float | None = None
     leaf_bucket: int = 16
     walk: str = "group"
     walk_tile: int = 256
     walk_list_cap: int = 8192
     walk_block: int = 2048
     walk_straggler_budget: int = 2
+    walk_straggler_slots: int = 8
     walk_engine: str = "octet"
     octet_capacity_factor: float | None = None
 
     @property
-    def effective_capacity_factor(self) -> int:
+    def effective_capacity_factor(self) -> float:
         """node_capacity_factor with the bucket-aware default resolved."""
         if self.node_capacity_factor is not None:
             return self.node_capacity_factor
-        return 4 if self.leaf_bucket == 1 else 2
+        if self.leaf_bucket == 1:
+            return 4.0
+        return 0.5 if self.leaf_bucket >= 8 else 1.0
 
     def capacity(self, n: int) -> int:
         """Node-arena size for N particles (reference: 4N octants,
-        src/sims/tree.rs:188-199)."""
-        return self.effective_capacity_factor * n + 1
+        src/sims/tree.rs:188-199). The bucket-aware auto default is
+        floored for tiny N where factor*N alone would undersize real
+        trees; an EXPLICIT node_capacity_factor is exact (overflow
+        tests size adversarial arenas with it)."""
+        cap = int(self.effective_capacity_factor * n)
+        if self.node_capacity_factor is None:
+            cap = max(4096, cap)
+        return cap + 1
 
     def octet_capacity(self, n: int) -> int:
         """Compact octet-table rows (internal nodes only) for N particles."""
