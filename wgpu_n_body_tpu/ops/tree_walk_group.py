@@ -90,6 +90,15 @@ _DEBUG_SKIP_EVAL = False
 # the CPU backend.
 _FORCE_TWO_PASS = False
 
+# Internal instrumentation: when True, the straggler pass (phase-A pass 2
+# + its eval) is skipped entirely AND straggler tiles' bad flags are
+# cleared (their forces are simply wrong/partial) so profiling scripts
+# can attribute walk time to pass 1 vs the straggler restart without
+# mass-deferring the stragglers into the per-particle fallback (which is
+# the known 16x cliff and can wedge the tunneled worker). Never set in
+# production paths.
+_DEBUG_SKIP_PASS2 = False
+
 
 def _tile_assignment(keys, n, depth, g_tile, ta_blk_max=2048):
     """Split the sorted particle axis into density-adaptive pieces.
@@ -1003,7 +1012,9 @@ def group_tree_forces(
     n_blocks = t_cap // ta_blk
     n2_need = max(4 * t_blk, n_blocks * act_floor1)
     n2 = min(t_cap, -(-n2_need // t_blk) * t_blk)
-    if act_floor1 > 0 and n2 >= t_blk:
+    if _DEBUG_SKIP_PASS2:
+        tile_bad_d = jnp.zeros_like(tile_bad_d)
+    if act_floor1 > 0 and n2 >= t_blk and not _DEBUG_SKIP_PASS2:
         idx2 = jnp.nonzero(tile_bad_d, size=n2, fill_value=t_cap)[0].astype(
             jnp.int32
         )

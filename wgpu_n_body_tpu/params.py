@@ -59,7 +59,7 @@ class NaiveParams:
     """
 
     tile_i: int = 512
-    tile_j: int = 1024
+    tile_j: int = 2048
     use_pallas: bool = True
 
 
