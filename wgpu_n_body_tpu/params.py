@@ -132,12 +132,14 @@ class TreeParams:
         tests per gather; needs the octet tables the build then emits).
       octet_capacity_factor: octet-table rows = factor * N (clamped to
         [4096, node capacity]). Only internal (openable) nodes need a
-        row; real trees at leaf_bucket 16 use ~N/16, so the default
-        (bucket-aware: 4.0 for singleton leaves whose internal count can
-        approach the arena bound, 0.5 for small buckets, 0.25 otherwise)
-        leaves generous slack. TPU row gathers get faster the smaller
-        the table, hence the compact indexing. Overflow sets
-        TreeArrays.overflowed (fails loudly, never hangs).
+        row; measured internal counts at leaf_bucket 16 are 0.018-0.039N
+        (disc/uniform, N=262k-1M), so the default (bucket-aware: 4.0 for
+        singleton leaves whose internal count can approach the arena
+        bound, 0.5 for small buckets, 0.08 otherwise) keeps ~2x slack.
+        TPU row gathers get faster the smaller the table — shrinking
+        0.125N -> 0.08N measured -17% full step at N=1M theta=0.75 —
+        hence the compact indexing. Overflow sets TreeArrays.overflowed
+        (fails loudly, never hangs).
     """
 
     theta: float = 0.75
@@ -174,12 +176,24 @@ class TreeParams:
         return cap + 1
 
     def octet_capacity(self, n: int) -> int:
-        """Compact octet-table rows (internal nodes only) for N particles."""
+        """Compact octet-table rows (internal nodes only) for N particles.
+
+        Both walk phases gather from octet tables and TPU gathers get
+        faster the smaller the table, so the auto default tracks measured
+        internal-node counts (0.018-0.039N at bucket 16 across disc and
+        uniform scenes) with ~2x slack: 0.08N for bucket >= 8 (measured
+        -17% full step at N=1M theta=0.75 vs the old 0.125N). The auto
+        floor is 16384 rows: an 8192-row table measured ~17% SLOWER than
+        12800/16384 at N=100k (v5e, cause unidentified — likely an XLA
+        gather-strategy threshold), so small N keeps a 16k table.
+        Overflow sets TreeArrays.overflowed (fails loudly, never
+        hangs)."""
         f = self.octet_capacity_factor
         if f is None:
             f = 4.0 if self.leaf_bucket == 1 else (
-                0.5 if self.leaf_bucket < 8 else 0.125
+                0.5 if self.leaf_bucket < 8 else 0.08
             )
+            return min(self.capacity(n), max(16384, int(n * f)))
         return min(self.capacity(n), max(4096, int(n * f)))
 
 
