@@ -364,8 +364,8 @@ def group_tree_forces(
         iter_cap2 = (r_cap2 - k_slots2) // (unroll * k_slots2)
     else:
         unroll = 16
-        # rows: multiple of 256 so the eval chunk (min(256, r_cap)) always
-        # divides it and unroll (16) always divides the chunk
+        # rows: multiple of 256 so the eval chunk (256 or 512, see below)
+        # always divides it and unroll (16) always divides the chunk
         r_cap = -(-(2 * l_cap) // 256) * 256
         iter_cap = r_cap // unroll
         r_cap2 = r_cap
