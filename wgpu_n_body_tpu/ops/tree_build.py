@@ -205,70 +205,143 @@ def build_tree(
     # Node emission is GATHER-based (inverse mapping node -> (level,
     # particle)): one n-sized scatter + cummax recovers each node's first
     # particle, and the contiguous level range gives its level by rank.
-    kk = jnp.arange(cap, dtype=jnp.int32)
+    #
+    # Emission is CHUNKED with a dynamic bound: the per-node gathers and
+    # row assembly are the dominant build cost and would otherwise run
+    # over the WHOLE static arena (see the node_capacity_factor
+    # docstring), but real trees only fill ~0.2-0.25N of the 0.5N default
+    # arena — the loop stops at the last live chunk and the dead tail
+    # keeps its (sentinel) initialization, which is exactly what the
+    # un-chunked emission wrote there.
+    need_chain = params.walk_engine == "octet"
+    chunk_e = min(65536, -(-cap // 8) * 8)
+    n_chunks = -(-cap // chunk_e)
+    cap_pad = n_chunks * chunk_e
     has_nodes = c_per_particle > 0
-    pon = jnp.full((cap,), -1, jnp.int32)
-    pon = pon.at[jnp.where(has_nodes, offset, cap)].set(
+    pon = jnp.full((cap_pad,), -1, jnp.int32)
+    pon = pon.at[jnp.where(has_nodes, offset, cap_pad)].set(
         jnp.where(has_nodes, ii, -1), mode="drop"
     )
     pon = scan.cummax_last(pon)
-    pon_c = jnp.clip(pon, 0, max(n - 1, 0))
-    rank = kk - offset[pon_c]
-    lvl_of = jnp.clip(s[pon_c] + rank, 0, depth)
+    pon_cl = jnp.clip(pon, 0, max(n - 1, 0))
 
     # Per-node gathers: run end -> count/skip; float-float prefix-sum
     # boundary differences -> mass and m*p totals. Skip stays in int32
     # end-to-end (small ints bitcast to f32 are denormals, and TPU
     # flushes denormals in f32 selects — a zeroed skip pointer loops the
     # stackless walk forever, observed as a TPU worker hang).
-    valid = kk < num_nodes
-    flat = lvl_of * n + pon_c
-    re_k = jnp.take(re_all.reshape(-1), flat)
-    count_k = re_k - pon_c
+    re_all_flat = re_all.reshape(-1)
     mvals = jnp.concatenate([mass[:, None], mass[:, None] * pos], axis=1)
     cs_hi, cs_lo = scan.ff_cumsum_ext(mvals)  # (n+1, 4)
-    tot = (
-        jnp.take(cs_hi, re_k, axis=0) - jnp.take(cs_hi, pon_c, axis=0)
-    ) + (jnp.take(cs_lo, re_k, axis=0) - jnp.take(cs_lo, pon_c, axis=0))
-    # cog: exact particle position for singletons (tree.rs:525-529),
-    # mass-weighted mean otherwise.
-    is_single = count_k == 1
-    cog = jnp.where(
-        is_single[:, None],
-        jnp.take(pos, pon_c, axis=0),
-        tot[:, 1:4] / tot[:, 0:1],
-    )
-    width_k = root_width * jnp.exp2(-lvl_of.astype(jnp.float32))
-    # 3-state terminal flag (see TreeArrays docstring): 2 marks max-depth
-    # cells overfull relative to leaf_bucket (direct summation must chunk).
-    terminal_k = (count_k <= bucket) | (lvl_of == depth)
-    no_child_k = jnp.where(
-        terminal_k, jnp.where(count_k > bucket, 2.0, 1.0), 0.0
-    ).astype(jnp.float32)
-    rows = jnp.concatenate(
-        [
-            cog,
-            tot[:, 0:1],
-            width_k[:, None],
-            is_single.astype(jnp.float32)[:, None],
-            no_child_k[:, None],
-            jnp.zeros((cap, 1), jnp.float32),
-        ],
-        axis=1,
-    )
     # Sentinel cog must be far away yet keep r^2 and w finite in f32 (the
     # group eval relies on zero mass x finite weight == exactly zero;
     # 1e30 would square to inf and poison sums with inf*0 = NaN).
     sentinel = jnp.zeros((NODE_F32_COLS,), jnp.float32)
     sentinel = sentinel.at[COG_X].set(1e15).at[NO_CHILD].set(1.0)
-    rows = jnp.where(valid[:, None], rows, sentinel[None, :])
-    nodes = jnp.concatenate([rows, sentinel[None, :]], axis=0)  # (cap+1, 8)
-    skip = jnp.where(valid, jnp.take(offset_ext, re_k), cap)
-    skip = jnp.concatenate([skip, jnp.full((1,), cap, jnp.int32)])
-    first = jnp.where(valid, pon_c, n)
-    first = jnp.concatenate([first, jnp.full((1,), n, jnp.int32)])
-    count = jnp.where(valid, count_k, 0)
-    count = jnp.concatenate([count, jnp.zeros((1,), jnp.int32)])
+
+    def emit_chunk(c, carry):
+        nodes_b, skip_b, first_b, count_b, chain_b = carry
+        k0 = c * chunk_e
+        kk = k0 + jnp.arange(chunk_e, dtype=jnp.int32)
+        pon_c = lax.dynamic_slice(pon_cl, (k0,), (chunk_e,))
+        rank = kk - jnp.take(offset, pon_c)
+        lvl_c = jnp.clip(jnp.take(s, pon_c) + rank, 0, depth)
+        valid = kk < num_nodes
+        flat = lvl_c * n + pon_c
+        re_k = jnp.take(re_all_flat, flat)
+        count_k = re_k - pon_c
+        tot = (
+            jnp.take(cs_hi, re_k, axis=0) - jnp.take(cs_hi, pon_c, axis=0)
+        ) + (jnp.take(cs_lo, re_k, axis=0) - jnp.take(cs_lo, pon_c, axis=0))
+        # cog: exact particle position for singletons (tree.rs:525-529),
+        # mass-weighted mean otherwise.
+        pos_first = jnp.take(pos, pon_c, axis=0)
+        is_single = count_k == 1
+        cog = jnp.where(
+            is_single[:, None], pos_first, tot[:, 1:4] / tot[:, 0:1]
+        )
+        width_k = root_width * jnp.exp2(-lvl_c.astype(jnp.float32))
+        # 3-state terminal flag (see TreeArrays docstring): 2 marks
+        # max-depth cells overfull relative to leaf_bucket (direct
+        # summation must chunk).
+        terminal_k = (count_k <= bucket) | (lvl_c == depth)
+        no_child_k = jnp.where(
+            terminal_k, jnp.where(count_k > bucket, 2.0, 1.0), 0.0
+        ).astype(jnp.float32)
+        rows = jnp.concatenate(
+            [
+                cog,
+                tot[:, 0:1],
+                width_k[:, None],
+                is_single.astype(jnp.float32)[:, None],
+                no_child_k[:, None],
+                jnp.zeros((chunk_e, 1), jnp.float32),
+            ],
+            axis=1,
+        )
+        rows = jnp.where(valid[:, None], rows, sentinel[None, :])
+        first_c = jnp.where(valid, pon_c, n)
+        nodes_b = lax.dynamic_update_slice(nodes_b, rows, (k0, jnp.int32(0)))
+        skip_b = lax.dynamic_update_slice(
+            skip_b, jnp.where(valid, jnp.take(offset_ext, re_k), cap), (k0,)
+        )
+        first_b = lax.dynamic_update_slice(first_b, first_c, (k0,))
+        count_b = lax.dynamic_update_slice(
+            count_b, jnp.where(valid, count_k, 0), (k0,)
+        )
+        if need_chain:
+            # combined per-node payload row for the octet-table gathers
+            # below: [cog x/y/z bits, mass bits, lvl, first, no_child,
+            # cell x/y/z] (the child's octet ptr comes from a separate
+            # narrow irank gather — irank needs a global cumsum, which
+            # would force a second full-arena pass here).
+            cells_c = morton.quantize(pos_first, bound, depth).astype(
+                jnp.int32
+            )
+            chain_c = jnp.concatenate(
+                [
+                    jax.lax.bitcast_convert_type(
+                        jnp.concatenate([cog, tot[:, 0:1]], axis=1),
+                        jnp.int32,
+                    ),
+                    lvl_c[:, None],
+                    first_c[:, None],
+                    no_child_k.astype(jnp.int32)[:, None],
+                    cells_c,
+                ],
+                axis=1,
+            )
+            chain_b = lax.dynamic_update_slice(
+                chain_b, chain_c, (k0, jnp.int32(0))
+            )
+        return nodes_b, skip_b, first_b, count_b, chain_b
+
+    nodes_pad0 = (
+        jnp.zeros((cap_pad, NODE_F32_COLS), jnp.float32)
+        .at[:, COG_X].set(1e15)
+        .at[:, NO_CHILD].set(1.0)
+    )
+    live_chunks = (num_nodes + (chunk_e - 1)) // chunk_e
+    nodes_pad, skip_pad, first_pad, count_pad, chain_pad = lax.fori_loop(
+        0,
+        jnp.maximum(live_chunks, 1),
+        emit_chunk,
+        (
+            nodes_pad0,
+            jnp.full((cap_pad,), cap, jnp.int32),
+            jnp.full((cap_pad,), n, jnp.int32),
+            jnp.zeros((cap_pad,), jnp.int32),
+            jnp.zeros((cap_pad, 10), jnp.int32)
+            if need_chain
+            else jnp.zeros((1, 10), jnp.int32),
+        ),
+    )
+    nodes = jnp.concatenate(
+        [nodes_pad[:cap], sentinel[None, :]], axis=0
+    )  # (cap+1, 8)
+    skip = jnp.concatenate([skip_pad[:cap], jnp.full((1,), cap, jnp.int32)])
+    first = jnp.concatenate([first_pad[:cap], jnp.full((1,), n, jnp.int32)])
+    count = jnp.concatenate([count_pad[:cap], jnp.zeros((1,), jnp.int32)])
 
     # ---- compact octet tables (walk_engine="octet") --------------------
     # TPU row gathers get faster the narrower AND smaller the table
@@ -302,36 +375,27 @@ def build_tree(
             overflowed=num_nodes_raw > cap,
         )
     cap_oct = params.octet_capacity(n)
-    is_internal = valid & (no_child_k == 0.0)
+    valid_pad = jnp.arange(cap_pad, dtype=jnp.int32) < num_nodes
+    is_internal = valid_pad & (nodes_pad[:, NO_CHILD] == 0.0)
     irank = jnp.cumsum(is_internal.astype(jnp.int32)) - 1
     n_internal = jnp.where(num_nodes_raw > 0, irank[-1] + 1, 0)
     oct_overflow = n_internal > cap_oct
     p_of = (
         jnp.zeros((cap_oct,), jnp.int32)
         .at[jnp.where(is_internal & (irank < cap_oct), irank, cap_oct)]
-        .set(kk, mode="drop")
+        .set(jnp.arange(cap_pad, dtype=jnp.int32), mode="drop")
     )
 
-    # one combined per-node row for the payload gathers (the chained part
-    # of the hop reads only the 4-byte ``skip`` array, see below):
-    # [cog x/y/z bits, mass bits, lvl, first, no_child, irank, cell x/y/z]
-    pos_first = jnp.take(pos, pon_c, axis=0)
-    cells_nodes = morton.quantize(pos_first, bound, depth).astype(jnp.int32)
+    # per-node payload rows for the gathers below were assembled by the
+    # chunked emission loop (the chained part of the hop reads only the
+    # 4-byte ``skip`` array, see below): [cog x/y/z bits, mass bits, lvl,
+    # first, no_child, cell x/y/z]; a child's octet ptr rides a separate
+    # narrow irank gather (irank is a global cumsum over the arena and
+    # can't be chunk-local).
     chain_tbl = jnp.concatenate(
-        [
-            jax.lax.bitcast_convert_type(
-                jnp.concatenate([cog, tot[:, 0:1]], axis=1), jnp.int32
-            ),
-            lvl_of[:, None],
-            first[:cap, None],
-            no_child_k.astype(jnp.int32)[:, None],
-            irank[:, None],
-            cells_nodes,
-        ],
-        axis=1,
-    )  # (cap, 11)
-    chain_sent = jnp.zeros((1, 11), jnp.int32)
-    chain_tbl = jnp.concatenate([chain_tbl, chain_sent], axis=0)
+        [chain_pad[:cap], jnp.zeros((1, 10), jnp.int32)], axis=0
+    )
+    irank_ext = jnp.concatenate([irank[:cap], jnp.zeros((1,), jnp.int32)])
 
     p_skip = jnp.take(skip, jnp.minimum(p_of, cap))
     p_first = jnp.take(first, jnp.minimum(p_of, cap))
@@ -352,13 +416,13 @@ def build_tree(
     far_bits = lax.bitcast_convert_type(jnp.float32(1e15), jnp.int32)
     for c in range(8):
         ex = ex_c[c]
-        row = jnp.take(chain_tbl, u_c[c], axis=0)  # (cap_oct, 11)
+        row = jnp.take(chain_tbl, u_c[c], axis=0)  # (cap_oct, 10)
         ccog = lax.bitcast_convert_type(row[:, 0:3], jnp.float32)
         lvl_u = row[:, 4]
         first_u = row[:, 5]
         term_u = row[:, 6] > 0
-        ptr_u = row[:, 7]
-        cell_u = row[:, 8:11]
+        ptr_u = jnp.take(irank_ext, u_c[c])
+        cell_u = row[:, 7:10]
         sh = jnp.clip(depth - lvl_u, 0, 31).astype(jnp.uint32)
         cell_l = (cell_u.astype(jnp.uint32) >> sh[:, None]).astype(jnp.float32)
         w_l = root_width * jnp.exp2(-lvl_u.astype(jnp.float32))
