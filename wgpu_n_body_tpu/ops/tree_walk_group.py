@@ -145,7 +145,14 @@ def _tile_assignment(keys, n, depth, g_tile, ta_blk_max=2048):
     # groups interleave with >=G-particle subcells, so their number stays
     # O(N/G); the 2x slack covers skew, and spills defer (never corrupt).
     t_cap = -(-n // g_tile) + max(8, 2 * -(-n // g_tile))
-    t_blk = min(256, t_cap)
+    # eval sub-block width: each sub-block evaluates ALL its tiles to the
+    # sub-block's max list length, so narrower sub-blocks (after the
+    # visit-count sort) waste fewer padded rows on the light tiles. Swept
+    # on v5e 2026-08: 256 -> 32 is -37% full step at N=100k disc, -4-5%
+    # at N=1-2M, neutral at N=4M; 16 gained nothing further. Launch
+    # overhead of the extra sub-block iterations stays negligible because
+    # each iteration still gathers t_blk*chunk >= 16k rows.
+    t_blk = min(32, t_cap)
     t_cap = -(-t_cap // t_blk) * t_blk
     # phase-A traversal block: tiles are grouped by DENSITY (lstar), so a
     # block's lockstep iteration count is the max over similar tiles
