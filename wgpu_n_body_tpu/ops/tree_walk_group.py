@@ -380,12 +380,14 @@ def group_tree_forces(
 
     # Eval chunk: each eval_body iteration has fixed cost (launch +
     # slice overhead) on top of its gather+VPU volume, so bigger chunks
-    # amortize it; 512 halves the iteration count of 256 at identical
-    # gather/VPU volume (sub-block lists round up to chunk granularity —
-    # the extra padding is sentinel rows). Must divide r_cap (the
-    # clamped dynamic_slice would otherwise re-read real rows and
-    # double-count); fall back to 256 for odd walk_list_cap values.
-    chunk = min(512 if r_cap % 512 == 0 else 256, r_cap)
+    # amortize it, while sub-block lists round up to chunk granularity
+    # (the extra padding is sentinel rows). Swept on v5e with the 32-tile
+    # sub-blocks (2026-08): 256 beats 512 by ~1.3% and 128 by ~1.3% at
+    # N=2M theta=0.5 (512 was best back when sub-blocks were 256 tiles
+    # and padding dominated). Must divide r_cap (the clamped
+    # dynamic_slice would otherwise re-read real rows and double-count);
+    # r_cap is always a multiple of 256.
+    chunk = min(256, r_cap)
     if r_cap % chunk or t_cap % t_blk or ta_blk % t_blk:
         raise ValueError(
             f"internal tiling mismatch: walk_list_cap={l_cap} -> r_cap="
