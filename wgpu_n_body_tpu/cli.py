@@ -119,6 +119,27 @@ def cmd_visualize(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Interactive viewer (bin/visualize.rs + online_renderer.rs analog):
+    the browser is the window — live frames, WASD/QE camera, Esc quits,
+    focus loss pauses. Same scene defaults as `visualize`."""
+    from wgpu_n_body_tpu.inits import INITS
+    from wgpu_n_body_tpu.runners.online import OnlineViewer, serve
+
+    viewer = OnlineViewer(
+        _build_sim(args),
+        INITS[args.init or "disc"],
+        key=args.seed,
+        width=args.width,
+        height=args.height,
+        steps_per_frame=args.steps_per_frame,
+        footprint=args.footprint,
+    )
+    stats = serve(viewer, host=args.host, port=args.port)
+    print(f"served {stats['frames']} frames, {stats['steps']} steps")
+    return 0
+
+
 def cmd_render(args) -> int:
     """Render frames from a dumped trajectory directory."""
     from wgpu_n_body_tpu.runners.renderer import Camera, render_trajectory
@@ -232,6 +253,16 @@ def main(argv=None) -> int:
     p.add_argument("--gif", type=str, default=None)
     p.add_argument("--fps", type=float, default=30.0)
     p.set_defaults(fn=cmd_visualize)
+
+    p = sub.add_parser("serve", help="interactive browser viewer")
+    _add_sim_flags(p, n=100_000, g=1e-5, e=1e-4, dt=0.0016, sim="tree")
+    p.add_argument("--width", type=int, default=400)
+    p.add_argument("--height", type=int, default=400)
+    p.add_argument("--steps-per-frame", type=int, default=1)
+    p.add_argument("--footprint", choices=["triangle", "splat"], default="triangle")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("render", help="render a dumped trajectory")
     p.add_argument("--trajectory", type=str, required=True)

@@ -1,0 +1,227 @@
+"""Interactive online viewer — the reference's windowed visualizer as a
+zero-dependency local web app.
+
+The reference's OnlineRenderer (src/runners/online_renderer.rs) owns a
+winit window and per-redraw does ``update()`` (apply held WASD/QE keys to
+the camera, online_renderer.rs:394-402) then ``render()`` (encode one sim
+step + draw the pre-step particle buffer, online_renderer.rs:336-378).
+A TPU host has no window, so here the browser is the window:
+
+- GET /frame.png is the redraw request: it applies the held keys reported
+  by the page (exactly CameraController::update_camera with speed 0.2,
+  online_renderer.rs:125-165,316), steps the sim, and returns the frame
+  rasterized by runners.renderer (camera/footprint/blend parity).
+  Like the reference, the frame drawn is the state *before* the step
+  encoded on the same tick (dest_particle_slice trails by one step,
+  naive.rs:164-166, tree.rs:355-357).
+- Key mapping matches online_renderer.rs:92-118: W/Up forward, S/Down
+  backward, A/Left orbit left, D/Right orbit right, Q up, E down.
+- Focus loss pauses stepping and regaining it resumes — the page reports
+  window focus with each request (bin/visualize.rs:65-71 semantics).
+- Escape (or closing the tab) ends the run (bin/visualize.rs:78-87).
+
+Everything is stdlib: http.server + a zlib PNG encoder. Run it with
+
+    python -m wgpu_n_body_tpu.cli serve          # reference visualize scene
+    # then open http://127.0.0.1:8000/
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+import numpy as np
+
+from wgpu_n_body_tpu.runners.headless import OfflineHeadless
+from wgpu_n_body_tpu.runners.renderer import Camera, png_bytes, render_frame
+
+#: browser key -> CameraController direction (online_renderer.rs:92-118)
+KEYMAP = {
+    "w": "forward", "arrowup": "forward",
+    "s": "backward", "arrowdown": "backward",
+    "a": "left", "arrowleft": "left",
+    "d": "right", "arrowright": "right",
+    "q": "up",
+    "e": "down",
+}
+
+#: reference controller speed (online_renderer.rs:316)
+CONTROLLER_SPEED = 0.2
+
+
+class OnlineViewer:
+    """Window-loop state: sim driver + camera + controller, HTTP-agnostic.
+
+    ``tick(keys, focused)`` is one winit redraw: input -> update ->
+    render -> (maybe) step. Thread-safe (the HTTP server is threaded).
+    """
+
+    def __init__(
+        self,
+        sim,
+        init_fn,
+        key: int = 0,
+        width: int = 400,
+        height: int = 400,
+        steps_per_frame: int = 1,
+        footprint: str = "triangle",
+        speed: float = CONTROLLER_SPEED,
+    ):
+        self.runner = OfflineHeadless(sim, init_fn, key=key)
+        self.camera = Camera(aspect=width / height)
+        self.width, self.height = width, height
+        self.steps_per_frame = steps_per_frame
+        self.footprint = footprint
+        self.speed = speed
+        self.frames = 0
+        self.last_step_ms = float("nan")
+        self._lock = threading.Lock()
+
+    def apply_input(self, keys: str) -> None:
+        """One controller tick for each held key (update_camera applies
+        every pressed direction each frame, online_renderer.rs:125-165)."""
+        for k in keys.split(",") if keys else []:
+            d = KEYMAP.get(k.strip().lower())
+            if d:
+                self.camera = self.camera.moved(d, self.speed)
+
+    def tick(self, keys: str = "", focused: bool = True) -> bytes:
+        """One redraw: returns the PNG frame. Steps only when focused
+        (bin/visualize.rs:65-71); the drawn state is pre-step, like the
+        reference's trailing dest_particle_slice."""
+        with self._lock:
+            self.apply_input(keys)
+            pos = np.asarray(self.runner.state.pos)
+            img = render_frame(
+                pos, self.camera, self.width, self.height,
+                footprint=self.footprint,
+            )
+            if focused:
+                t0 = time.perf_counter()
+                for _ in range(self.steps_per_frame):
+                    self.runner.step()
+                self.last_step_ms = (
+                    (time.perf_counter() - t0) * 1e3 / self.steps_per_frame
+                )
+            self.frames += 1
+            return png_bytes(img)
+
+    def stats(self) -> dict:
+        return {
+            "frames": self.frames,
+            "steps": self.runner.step_num,
+            "last_step_ms": None
+            if self.last_step_ms != self.last_step_ms
+            else round(self.last_step_ms, 3),
+            "n": int(self.runner.state.pos.shape[0]),
+            "eye": [round(float(v), 4) for v in self.camera.eye],
+        }
+
+
+_PAGE = """<!doctype html>
+<title>wgpu-n-body tpu</title>
+<style>
+ body { background:#000; color:#9a9a9a; font:12px monospace; margin:0 }
+ #hud { position:fixed; top:8px; left:8px; white-space:pre }
+ img { display:block; margin:auto; image-rendering:pixelated }
+</style>
+<div id="hud"></div><img id="v" width="%W%" height="%H%">
+<script>
+ const held = new Set();
+ let focused = true, closing = false;
+ addEventListener('keydown', e => {
+   if (e.key === 'Escape') { closing = true; fetch('/quit'); return; }
+   held.add(e.key.toLowerCase());
+ });
+ addEventListener('keyup', e => held.delete(e.key.toLowerCase()));
+ addEventListener('blur', () => focused = false);   // visualize.rs:65-71
+ addEventListener('focus', () => focused = true);
+ async function loop() {
+   while (!closing) {
+     const q = '/frame.png?keys=' + Array.from(held).join(',') +
+               '&focus=' + (focused ? 1 : 0) + '&t=' + Date.now();
+     const r = await fetch(q);
+     if (!r.ok) break;
+     const blob = await r.blob();
+     const url = URL.createObjectURL(blob);
+     const img = document.getElementById('v');
+     const old = img.src; img.src = url;
+     if (old) URL.revokeObjectURL(old);
+     const s = await (await fetch('/stats')).json();
+     document.getElementById('hud').textContent =
+       `step ${s.steps}  ${s.last_step_ms ?? '-'} ms/step  N=${s.n}` +
+       `\\nWASD/arrows move - QE up/down - Esc quits - blur pauses`;
+   }
+ }
+ loop();
+</script>"""
+
+
+def make_server(viewer: OnlineViewer, host: str = "127.0.0.1", port: int = 8000):
+    """Bind the viewer's HTTP server; returns (server, done_event).
+
+    ``server.server_address[1]`` is the bound port (pass port=0 for an
+    ephemeral one); ``done_event`` is set by GET /quit (the Esc key)."""
+    import http.server
+    import urllib.parse
+
+    page = (
+        _PAGE.replace("%W%", str(viewer.width))
+        .replace("%H%", str(viewer.height))
+        .encode()
+    )
+    done = threading.Event()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, ctype, body):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            u = urllib.parse.urlparse(self.path)
+            q = urllib.parse.parse_qs(u.query)
+            if u.path == "/":
+                self._send(200, "text/html", page)
+            elif u.path == "/frame.png":
+                png = viewer.tick(
+                    keys=q.get("keys", [""])[0],
+                    focused=q.get("focus", ["1"])[0] == "1",
+                )
+                self._send(200, "image/png", png)
+            elif u.path == "/stats":
+                self._send(
+                    200, "application/json",
+                    json.dumps(viewer.stats()).encode(),
+                )
+            elif u.path == "/quit":
+                self._send(200, "text/plain", b"bye")
+                done.set()
+            else:
+                self._send(404, "text/plain", b"not found")
+
+    server = http.server.ThreadingHTTPServer((host, port), Handler)
+    server.daemon_threads = True
+    return server, done
+
+
+def serve(viewer: OnlineViewer, host: str = "127.0.0.1", port: int = 8000):
+    """Blocking event loop: serve the viewer until Escape/close (/quit)."""
+    server, done = make_server(viewer, host, port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    print(f"viewing at http://{host}:{server.server_address[1]}/  (Esc quits)")
+    try:
+        done.wait()
+    except KeyboardInterrupt:
+        pass
+    server.shutdown()
+    return viewer.stats()

@@ -235,14 +235,45 @@ def write_ppm(path: str, img: np.ndarray) -> None:
         f.write(rgb.tobytes())
 
 
+def png_bytes(img: np.ndarray) -> bytes:
+    """Encode a [0,1] grayscale image as an 8-bit PNG (stdlib zlib only)."""
+    import struct
+    import zlib
+
+    g = (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+    h, w = g.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), g], axis=1
+    ).tobytes()  # filter byte 0 per scanline
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def write_png(path: str, img: np.ndarray) -> bool:
-    """Write PNG via PIL if available; returns False if PIL is missing."""
+    """Write PNG — via PIL when present, else the stdlib encoder above.
+    Always succeeds; the bool return is kept for API compatibility."""
     try:
         from PIL import Image
+
+        g = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(g, mode="L").save(path)
     except ImportError:
-        return False
-    g = (np.clip(img, 0, 1) * 255).astype(np.uint8)
-    Image.fromarray(g, mode="L").save(path)
+        with open(path, "wb") as f:
+            f.write(png_bytes(img))
     return True
 
 
