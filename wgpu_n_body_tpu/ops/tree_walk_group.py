@@ -83,12 +83,21 @@ class GroupWalkStats(NamedTuple):
 # traversal vs evaluation. Never set in production paths.
 _DEBUG_SKIP_EVAL = False
 
+# Internal instrumentation: when True, phase B performs its row gathers
+# but replaces the pair-point force math with a trivial reduction
+# (forces are garbage) — isolates gather+loop cost from VPU eval cost.
+_DEBUG_EVAL_GATHER_ONLY = False
+
 # Testing hook: the two-pass straggler scheduler (early pass-1 stop +
 # compacted wide-emission re-walk) normally runs only on TPU — the second
 # phase-A instantiation doubles the painful LLVM (XLA CPU) compile. Tests
 # set this True to exercise the pass-2 path (incl. its wider k_slots) on
 # the CPU backend.
 _FORCE_TWO_PASS = False
+
+# TPU octet-engine while-body unroll (gathers per while iteration); 8
+# measured best (see comment at use site). Module-level for experiments.
+_OCTET_UNROLL = 8
 
 # Internal instrumentation: when True, the straggler pass (phase-A pass 2
 # + its eval) is skipped entirely AND straggler tiles' bad flags are
@@ -361,7 +370,7 @@ def group_tree_forces(
         # steps amortizes TPU while-iteration overhead, but LLVM (the XLA
         # *CPU* backend) takes >9 min on the 8x body — tests and the
         # multichip dryrun run on CPU, so unroll shallow there.
-        unroll = 8 if jax.default_backend() == "tpu" else 1
+        unroll = _OCTET_UNROLL if jax.default_backend() == "tpu" else 1
         r_cap = -(-(2 * l_cap) // 256) * 256
         iter_cap = (r_cap - k_slots) // (unroll * k_slots)
         # straggler-pass row budget: the pass is narrow (n2 tiles), so a
@@ -888,6 +897,9 @@ def group_tree_forces(
                 rows = lax.bitcast_convert_type(
                     raw[:, :, : (8 if use_octet else 4)], jnp.float32
                 )
+                if _DEBUG_EVAL_GATHER_ONLY:  # profiling-only
+                    cheap = jnp.sum(rows, axis=(1, 2)) * jnp.float32(1e-30)
+                    return c0 + chunk, acc + cheap[:, None, None]
 
                 # One uniform point-mass formula (tree.wgsl:66-67); self
                 # pairs (member == receiver gid) are excluded exactly like
