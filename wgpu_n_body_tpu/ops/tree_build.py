@@ -78,12 +78,14 @@ class TreeArrays(NamedTuple):
                 forests, host oracle); walks then use the skip-pointer
                 phase A.
     octet_pts:  (octet_capacity*12 + 2, 8) int32 or None — comb-table
-                TWO-point rows matched to octets. Row ptr*8 + slot is
-                child `slot`'s single row [cog xyz bits, mass bits |
-                far-dummy point], rows octet_capacity*8 + ptr*4 + p are
+                TWO-point rows matched to octets, laid out SLOT-major
+                (assembly is then pure concatenation — ptr-major order
+                needs a reshape whose padded layout costs 32x memory).
+                Row slot*octet_capacity + ptr is child `slot`'s single
+                row [cog xyz bits, mass bits | far-dummy point], rows
+                octet_capacity*8 + p*octet_capacity + ptr are
                 SIBLING-PAIR rows holding children 2p and 2p+1 of octet
-                ptr in both points (absent children are far dummies, so
-                the pair rows are a pure reshape of the single rows).
+                ptr in both points (absent children are far dummies).
                 When both siblings of a pair are theta-accepted the walk
                 emits the one pair row instead of two singles — phase-B
                 rows halve for the common both-accepted case and an open
@@ -486,19 +488,26 @@ def build_tree(
     )
     # sibling-pair node rows: children (2p, 2p+1) of each octet in one
     # two-point row (see TreeArrays.octet_pts docstring). Absent children
-    # already carry far-dummy mass-0 points, so pairing is a pure reshape
-    # of the single rows' first four columns.
-    quad = jnp.stack([r[:, 0:4] for r in pts_rows], axis=1)  # (cap_oct,8,4)
-    sib_pairs = quad.reshape(cap_oct * 4, 8)
-    octet_pts = jnp.concatenate(
+    # already carry far-dummy mass-0 points. Both sections are laid out
+    # SLOT-MAJOR (single row = slot*cap_oct + ptr, pair row = spair_base
+    # + p*cap_oct + ptr) so assembly is pure concatenation: the obvious
+    # ptr-major stack(axis=1).reshape forces XLA to materialize a
+    # (cap_oct, 8, 4) row-major-tiled temp whose 4-wide minor dim pads
+    # to 128 lanes — a 32x-expanded 9.8 GB allocation at N=32M that was
+    # the single-chip OOM wall.
+    sib_pairs = jnp.concatenate(
         [
-            jnp.stack(pts_rows, axis=1).reshape(cap_oct * 8, 8),
-            sib_pairs,
-            root_row,
-            sent_row,
+            jnp.concatenate(
+                [pts_rows[2 * p][:, 0:4], pts_rows[2 * p + 1][:, 0:4]],
+                axis=1,
+            )
+            for p in range(4)
         ],
         axis=0,
-    )  # (cap_oct*12 + 2, 8)
+    )  # (cap_oct*4, 8), row p*cap_oct + ptr
+    octet_pts = jnp.concatenate(
+        pts_rows + [sib_pairs, root_row, sent_row], axis=0
+    )  # (cap_oct*12 + 2, 8); single row = slot*cap_oct + ptr
 
     return TreeArrays(
         nodes_f32=nodes,

@@ -260,7 +260,7 @@ def group_tree_forces(
     #   a receiver gid).
     # Skip engine: node k's point-mass row IS row k; row `cap` is the
     # sentinel. Octet engine: node rows come from the build's child-
-    # indexed octet_pts (entry ptr*8 + slot for singles, sibling-pair
+    # indexed octet_pts (entry slot*cap_oct + ptr for singles, sibling-pair
     # rows behind them; root and sentinel follow).
     # Either way phase A emits row ids straight into the lists and phase
     # B is one uniform gather + point-mass pass, with the sentinel (zero
@@ -287,15 +287,24 @@ def group_tree_forces(
             ],
             axis=1,
         )
-        p4 = jnp.concatenate([src_pos, src_mass[:, None]], axis=1)
+        # Assemble (n_pairs, 8) from stride-2 column slices, NOT via
+        # p4.reshape(n_pairs, 8): the reshape forces XLA to materialize
+        # the (n, 4) operand row-major-tiled, padding the 4-wide rows to
+        # 128 lanes — a 32x-expanded HLO temp (11.4 GB at N=24M; the
+        # single-chip OOM wall) plus a 16x-padded reshape output.
         if n_pairs * 2 > n_src:
-            p4 = jnp.concatenate([p4, far_pt], axis=0)
+            src_pos_e = jnp.concatenate([src_pos, far_pt[:, :3]], axis=0)
+            src_mass_e = jnp.concatenate([src_mass, far_pt[0, 3:4]], axis=0)
+        else:
+            src_pos_e, src_mass_e = src_pos, src_mass
+        pa, pb = src_pos_e[0::2], src_pos_e[1::2]
+        ma, mb = src_mass_e[0::2, None], src_mass_e[1::2, None]
         far_col = jnp.broadcast_to(far_pt, (n_pairs, 4))
         pair_rows = jnp.concatenate(
             [
-                p4.reshape(n_pairs, 8),
-                jnp.concatenate([p4[0::2], far_col], axis=1),  # keep 2j
-                jnp.concatenate([far_col, p4[1::2]], axis=1),  # keep 2j+1
+                jnp.concatenate([pa, ma, pb, mb], axis=1),
+                jnp.concatenate([pa, ma, far_col], axis=1),  # keep 2j
+                jnp.concatenate([far_col, pb, mb], axis=1),  # keep 2j+1
             ],
             axis=0,
         )
@@ -709,11 +718,11 @@ def group_tree_forces(
                         if c % 2 == 0:
                             rid = jnp.where(
                                 both_l[c // 2],
-                                spair_base + ia * 4 + c // 2,
-                                ia * 8 + c,
+                                spair_base + (c // 2) * cap_oct + ia,
+                                c * cap_oct + ia,
                             )
                         else:
-                            rid = ia * 8 + c
+                            rid = c * cap_oct + ia
                         v = jnp.where(unit_l[c] & (pos[c] == k), rid, v)
                     v = jnp.where(
                         (k >= n_emit) & (drained > 0),
