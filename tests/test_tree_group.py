@@ -89,6 +89,26 @@ def test_group_list_overflow_defers_but_stays_exact():
     np.testing.assert_allclose(grp, exact, rtol=2e-4, atol=1e-8)
 
 
+def test_chunked_fallback_exact_beyond_small_tier():
+    # Deferral counts above the small tier run the chunked while-loop
+    # fallback (batches of b_large); shrink the tier so a 256-particle
+    # full-deferral scene takes that path and must still be exact.
+    import wgpu_n_body_tpu.ops.tree_walk_group as twg
+
+    old = twg._FB_SMALL_CAP
+    twg._FB_SMALL_CAP = 32  # b_small=32, b_large=64 -> 4 chunks
+    try:
+        n = 256
+        grp, _, exact, deferred = _forces(
+            _state(jax.random.key(3), n), 0.0, n, tile=32, l_cap=128,
+            bucket=1,
+        )
+    finally:
+        twg._FB_SMALL_CAP = old
+    assert deferred == n
+    np.testing.assert_allclose(grp, exact, rtol=2e-4, atol=1e-8)
+
+
 def test_tree_sim_group_walk_end_to_end():
     params = SimParams(particle_num=300, g=1e-5)
     sim = TreeSim(

@@ -472,7 +472,13 @@ def build_tree(
     octets = jnp.stack(oct_cols, axis=1)  # (cap_oct, 24)
     # point rows at ptr*8 + slot, then [root | sentinel] (the walk appends
     # source-particle member-pair rows after these)
-    root_bits = lax.bitcast_convert_type(nodes[0:1, :], jnp.int32)
+    # Root cols read as FOUR (1,1) element slices, not nodes[0:1, :]:
+    # slicing one logical row out of the column-major-laid-out arena
+    # makes XLA materialize a row-major copy of the WHOLE array (8-wide
+    # rows pad to 128 lanes: a 16x-expanded 7.7 GB temp at N=32M).
+    root_bits = lax.bitcast_convert_type(
+        jnp.stack([nodes[:, c][0] for c in range(4)])[None, :], jnp.int32
+    )
     far_tail = jnp.concatenate(
         [jnp.full((1, 1), far_bits, jnp.int32), jnp.zeros((1, 3), jnp.int32)],
         axis=1,

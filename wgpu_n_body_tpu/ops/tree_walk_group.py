@@ -99,6 +99,13 @@ _FORCE_TWO_PASS = False
 # measured best (see comment at use site). Module-level for experiments.
 _OCTET_UNROLL = 8
 
+# Fallback batch tiers: deferral counts <= _FB_SMALL_CAP walk one
+# compacted batch (the common couple-of-dense-tiles case); anything
+# larger runs the chunked while loop in batches of max(2x this, n/16).
+# Module-level so tests can shrink the tiers and exercise the chunked
+# path on tiny scenes.
+_FB_SMALL_CAP = 4096
+
 # Internal instrumentation: when True, the straggler pass (phase-A pass 2
 # + its eval) is skipped entirely AND straggler tiles' bad flags are
 # cleared (their forces are simply wrong/partial) so profiling scripts
@@ -500,7 +507,13 @@ def group_tree_forces(
         accf = jnp.float32(1.0 + 0.002 * theta)
         # root classification (vector over lanes, outside the loop): the
         # root is the only node that is nobody's octet child.
-        r_row = tree.nodes_f32[0]
+        # Root row/first/count are read from the HOISTED copies computed
+        # before the block loop, NOT tree.nodes_f32[0] here: this code
+        # traces inside walk_block's fori_loop, and slicing the arena
+        # in-loop makes XLA carry the WHOLE (cap+1, 8) f32 arena through
+        # the loop in a row-major layout whose 8-wide rows pad to 128
+        # lanes — a 16x-expanded 7.6 GB carry at N=32M.
+        r_row = root_row_f32
         rdx = jnp.maximum(jnp.maximum(blo[:, 0] - r_row[0], r_row[0] - bhi[:, 0]), 0.0)
         rdy = jnp.maximum(jnp.maximum(blo[:, 1] - r_row[1], r_row[1] - bhi[:, 1]), 0.0)
         rdz = jnp.maximum(jnp.maximum(blo[:, 2] - r_row[2], r_row[2] - bhi[:, 2]), 0.0)
@@ -509,9 +522,9 @@ def group_tree_forces(
         kind0 = jnp.where(
             active0, jnp.where(r_acc, 0, jnp.where(r_term, 2, 1)), 0
         ).astype(jnp.int32)
-        ia0 = jnp.where(kind0 == 2, tree.first[0], 0)
-        ib0 = jnp.where(kind0 == 2, tree.count[0], tree.first[0])
-        ic0 = jnp.broadcast_to(tree.count[0], (width,))
+        ia0 = jnp.where(kind0 == 2, root_first, 0)
+        ib0 = jnp.where(kind0 == 2, root_count, root_first)
+        ic0 = jnp.broadcast_to(root_count, (width,))
         im0 = jnp.zeros((width,), jnp.int32)
         iw0 = jnp.broadcast_to(r_row[WIDTH], (width,))
         zf0 = jnp.zeros((width,), jnp.float32)  # root cell center: origin
@@ -982,6 +995,16 @@ def group_tree_forces(
             acc_sorted_blk, jnp.argsort(ord_b).astype(jnp.int32), axis=0
         )
 
+    # Loop-invariant root reads, hoisted OUT of walk_block (see the
+    # layout note in phase_a_octet): only these 10 scalars enter the
+    # block loop, not the arena / first / count arrays they come from.
+    # Element-wise extraction on purpose — tree.nodes_f32[0] slices one
+    # logical row from the column-major arena, which XLA implements as a
+    # row-major (16x-padded) copy of the whole array.
+    root_row_f32 = jnp.stack([tree.nodes_f32[0, c] for c in range(8)])
+    root_first = tree.first[0]
+    root_count = tree.count[0]
+
     def phase_a(blo, bhi, active0, width, budget, act_floor, k, rows_cap):
         if use_octet:
             return phase_a_octet(
@@ -1101,24 +1124,40 @@ def group_tree_forces(
 
         return fallback_compact
 
-    def fallback_full(acc):
-        acc_fb = tree_forces(
-            pos_new, src_pos, src_mass, tree, params, tree_params,
-            active=deferred, self_idx=gid_offset + ii,
-        )
-        return jnp.where(deferred[:, None], acc_fb, acc)
+    b_small = min(n, _FB_SMALL_CAP)
+    b_large = min(n, max(2 * _FB_SMALL_CAP, -(-n // 16)))
 
-    b_small = min(n, 4096)
-    b_large = min(n, max(8192, -(-n // 16)))
+    def fallback_chunked(acc):
+        # Any deferral count, memory bounded by the b_large batch: walk
+        # compacted chunks of deferred indices under a while loop. (A
+        # full-width masked walk handled this before, but its (n, 4)
+        # cond-branch buffers pinned ~750 MB at N=32M even when never
+        # taken — XLA reserves both branches.) The trailing chunk's
+        # clamped dynamic_slice re-reads earlier indices; re-setting
+        # them with identical values is harmless.
+        idx_all = jnp.nonzero(deferred, size=n, fill_value=n)[0].astype(
+            jnp.int32
+        )
+
+        def cond(carry):
+            return carry[0] * b_large < n_deferred
+
+        def body(carry):
+            k, a = carry
+            idx = lax.dynamic_slice(idx_all, (k * b_large,), (b_large,))
+            idx_c = jnp.minimum(idx, n - 1)
+            acc_b = tree_forces(
+                jnp.take(pos_new, idx_c, axis=0), src_pos, src_mass, tree,
+                params, tree_params, active=idx < n,
+                self_idx=gid_offset + idx_c,
+            )
+            return k + 1, a.at[idx].set(acc_b, mode="drop")
+
+        return lax.while_loop(cond, body, (jnp.int32(0), acc))[1]
 
     def dispatch(acc):
         return lax.cond(
-            n_deferred <= b_small,
-            make_compact(b_small),
-            lambda a: lax.cond(
-                n_deferred <= b_large, make_compact(b_large), fallback_full, a
-            ),
-            acc,
+            n_deferred <= b_small, make_compact(b_small), fallback_chunked, acc
         )
 
     acc = lax.cond(n_deferred > 0, dispatch, lambda a: a, acc)
