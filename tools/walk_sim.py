@@ -1,0 +1,332 @@
+"""Host-side step-count simulator for the octet phase-A walk.
+
+Replicates ops/tree_walk_group.phase_a_octet's per-lane scheduling at the
+SEMANTIC level (visits, candidate selection, member drains, pushes/pops)
+on a real tree built on the CPU backend, and reports where the lockstep
+steps go:
+
+  first_visit   an open item entered with an empty processed mask — the
+                one unavoidable gather per opened node
+  revisit       an open item re-entered with a nonempty mask (after a
+                pop, or a stay after a fully-drained member run) — these
+                re-gather a row the walk has already seen
+  member        a dedicated member-lane streaming step
+  idle_pop      a visit that finds no candidates and only pops
+
+plus per-block lockstep sums (cost model of the real kernel: a block's
+step count is the max over its density-ordered lanes). The "cached"
+counterfactual models a stack that carries the parent's remaining
+candidate queue, so pops install the next candidate directly and
+revisit/idle_pop steps disappear (member streaming and first visits are
+unchanged).
+
+Usage: python tools/walk_sim.py --n 131072 --theta 0.5 --init disc
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=131072)
+    ap.add_argument("--theta", type=float, default=0.5)
+    ap.add_argument("--init", default="disc", choices=["disc", "uniform"])
+    ap.add_argument("--bucket", type=int, default=16)
+    ap.add_argument("--tile", type=int, default=256)
+    ap.add_argument("--block", type=int, default=2048)
+    ap.add_argument("--k-slots", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from wgpu_n_body_tpu import inits
+    from wgpu_n_body_tpu.ops.tree_build import NO_CHILD, WIDTH, build_tree, morton_sort
+    from wgpu_n_body_tpu.ops.tree_walk_group import _tile_assignment
+    from wgpu_n_body_tpu.params import SimParams, TreeParams
+
+    params = SimParams(
+        particle_num=args.n, g=1e-5 if args.init == "disc" else 1e-6
+    )
+    tp = TreeParams(theta=args.theta, leaf_bucket=args.bucket,
+                    walk_tile=args.tile, walk_block=args.block)
+    init_fn = {"disc": inits.disc_init, "uniform": inits.uniform_init}[args.init]
+    state = init_fn(jax.random.key(0), params)
+    state_s, bound, keys = morton_sort(state, tp.max_depth)
+    tree = build_tree(state_s, keys, bound, tp)
+
+    n, g, depth, theta = args.n, args.tile, tp.max_depth, args.theta
+    tile_id, lstar, t_cap, t_blk, ta_blk = _tile_assignment(
+        keys, n, depth, g, args.block
+    )
+    tile_id = np.asarray(jnp_min(tile_id, t_cap - 1))
+    pos = np.asarray(state_s.pos)
+    lstar = np.asarray(lstar)
+
+    # per-tile bboxes + density order (mirrors group_tree_forces)
+    piece_start = np.searchsorted(tile_id, np.arange(t_cap)).astype(np.int64)
+    piece_end = np.concatenate([piece_start[1:], [n]])
+    piece_len = piece_end - piece_start
+    blo = np.full((t_cap, 3), np.inf)
+    bhi = np.full((t_cap, 3), -np.inf)
+    for t in range(t_cap):
+        if piece_len[t] > 0:
+            seg = pos[piece_start[t] : piece_end[t]]
+            blo[t] = seg.min(axis=0)
+            bhi[t] = seg.max(axis=0)
+    lstar_tile = np.where(
+        piece_len > 0, lstar[np.minimum(piece_start, n - 1)], -1
+    )
+    tt = np.arange(t_cap)
+    order = np.argsort(-(lstar_tile * t_cap) - (t_cap - tt), kind="stable")
+
+    octets = np.asarray(tree.octets)
+    first = np.asarray(tree.first)
+    count = np.asarray(tree.count)
+    nodes = np.asarray(tree.nodes_f32)
+    root_w = float(nodes[0, WIDTH])
+    root_term = float(nodes[0, NO_CHILD]) > 0.0
+    accf = 1.0 + 0.002 * theta
+    k_slots = args.k_slots
+
+    cand_hist = np.zeros(9, np.int64)  # n_cand at first visits
+
+    def walk_tile(t, cache2=False):
+        """Returns (steps, first_visits, revisits, member_steps, idle_pops).
+
+        One tuple entry per lockstep step the kernel would spend on this
+        lane, classified by what the step does. With cache2=True,
+        simulates the candidate-caching design: each open step extracts
+        candidates #1 AND #2; a fully-drained member candidate installs
+        #2 in the same step (no stay revisit), a descend pushes #2
+        directly (plus an old-style parent entry only when >= 3
+        candidates remain), so a node with k candidates costs
+        max(k-2, 0) revisits instead of k-1.
+        """
+        lo, hi = blo[t], bhi[t]
+
+        def dmin_to(px, py, pz):
+            dx = max(lo[0] - px, px - hi[0], 0.0)
+            dy = max(lo[1] - py, py - hi[1], 0.0)
+            dz = max(lo[2] - pz, pz - hi[2], 0.0)
+            return (dx * dx + dy * dy + dz * dz) ** 0.5
+
+        c_first, c_rev, c_mem, c_idle = 0, 0, 0, 0
+        # root classification (free: happens outside the loop)
+        r = nodes[0]
+        if r[WIDTH] < theta * dmin_to(r[0], r[1], r[2]):
+            return (0, 0, 0, 0, 0)
+        if root_term:
+            item = ("mem", int(first[0]), int(count[0]))
+        else:
+            item = ("open", 0, int(first[0]), int(count[0]), 0,
+                    root_w, 0.0, 0.0, 0.0)
+        stack = []
+        steps = 0
+        while True:
+            steps += 1
+            if item[0] == "mem":
+                c_mem += 1
+                _, a, b = item
+                cm = min(b, 2 * k_slots - (a & 1))
+                if b > cm:
+                    item = ("mem", a + cm, b - cm)
+                    continue
+                if stack:
+                    item = stack.pop()
+                    continue
+                break
+            _, ptr, ib, ic, im, iw, ix, iy, iz = item
+            if im == 0:
+                c_first += 1
+            else:
+                c_rev += 1
+            cw, hq = iw * 0.5, iw * 0.25
+            cell_q = cw / 512.0
+            row = octets[ptr]
+            ex = [int(row[3 * c]) < 0 for c in range(8)]  # bit 31 set
+            off = [int(row[3 * c + 2]) for c in range(8)]
+            off_next = [0] * 8
+            off_next[7] = ic
+            for c in range(6, -1, -1):
+                off_next[c] = off[c + 1] if ex[c + 1] else ic
+            acc_c, term_c, open_c, mem_c = [], [], [], []
+            geom = []
+            for c in range(8):
+                c0 = int(row[3 * c])
+                term = ((c0 >> 30) & 1) == 1
+                digit = (c0 >> 27) & 7
+                qx, qy, qz = c0 & 511, (c0 >> 9) & 511, (c0 >> 18) & 511
+                cx = ix + hq if (digit & 1) else ix - hq
+                cy = iy + hq if (digit & 2) else iy - hq
+                cz = iz + hq if (digit & 4) else iz - hq
+                gx = (cx - hq) + (qx + 0.5) * cell_q
+                gy = (cy - hq) + (qy + 0.5) * cell_q
+                gz = (cz - hq) + (qz + 0.5) * cell_q
+                a = ex[c] and (cw * accf < theta * dmin_to(gx, gy, gz))
+                procd = ((im >> c) & 1) == 1
+                acc_c.append(a)
+                term_c.append(term)
+                open_c.append(ex[c] and not a and not term and not procd)
+                mem_c.append(ex[c] and not a and term and not procd)
+                geom.append((cx, cy, cz))
+            # emission units (sibling pairs share a unit)
+            emit = [acc_c[c] and ((im >> c) & 1) == 0 for c in range(8)]
+            units = 0
+            for p in range(4):
+                if emit[2 * p] or emit[2 * p + 1]:
+                    units += 1
+            n_emit = min(units, k_slots)
+            # member runs (maximal adjacent runs)
+            run_start = [
+                mem_c[c] and (c == 0 or not mem_c[c - 1]) for c in range(8)
+            ]
+            # candidate slots (open children + member-run starts), in order
+            cands = []
+            done_bits = 0
+            for c in range(8):
+                if not ex[c] or emit[c]:
+                    done_bits |= 1 << c
+                if open_c[c] or (mem_c[c] and run_start[c]):
+                    cands.append(c)
+            n_cand = len(cands)
+            if im == 0:
+                cand_hist[min(n_cand, 8)] += 1
+            new_mask = im | done_bits
+
+            def run_of(c):
+                """(bits, abs_start, length) of the member run starting at c."""
+                e = c
+                bits = 0
+                while e < 8 and mem_c[e]:
+                    bits |= 1 << e
+                    e += 1
+                a0 = ib + off[c]
+                return bits, a0, (off_next[e - 1]) - off[c]
+
+            def item_of(c):
+                """(bits, item) for candidate c, as a pop would install it."""
+                if open_c[c]:
+                    return 1 << c, (
+                        "open", int(row[3 * c + 1]), ib + off[c],
+                        off_next[c] - off[c], 0, cw, *geom[c],
+                    )
+                bits, a0, blen = run_of(c)
+                return bits, ("mem", a0, blen)
+
+            if n_cand == 0:
+                if im != 0:
+                    c_idle += 1  # pure pop step (already counted in c_rev)
+                if stack:
+                    item = stack.pop()
+                    continue
+                break
+            cand = cands[0]
+            if open_c[cand]:
+                bits = 1 << cand
+                child = item_of(cand)[1]
+                if cache2 and n_cand > 1:
+                    bits2, item2 = item_of(cands[1])
+                    if n_cand > 2:
+                        stack.append(("open", ptr, ib, ic,
+                                      new_mask | bits | bits2, iw, ix, iy, iz))
+                    stack.append(item2)
+                elif n_cand > 1:
+                    stack.append(("open", ptr, ib, ic, new_mask | bits,
+                                  iw, ix, iy, iz))
+                item = child
+                continue
+            # member run candidate
+            bits, a0, blen = run_of(cand)
+            drain_cap = max(2 * (k_slots - n_emit) - (a0 & 1), 0)
+            drained = min(drain_cap, blen)
+            if drained > 0 and drained >= blen:
+                # fully drained
+                if cache2:
+                    if n_cand == 1:
+                        if stack:
+                            item = stack.pop()
+                            continue
+                        break
+                    bits2, item2 = item_of(cands[1])
+                    if n_cand > 2:
+                        stack.append(("open", ptr, ib, ic,
+                                      new_mask | bits | bits2, iw, ix, iy, iz))
+                    item = item2
+                    continue
+                # stay on this node (a revisit step follows)
+                item = ("open", ptr, ib, ic, new_mask | bits, iw, ix, iy, iz)
+                continue
+            if cache2 and n_cand > 1:
+                bits2, item2 = item_of(cands[1])
+                if n_cand > 2:
+                    stack.append(("open", ptr, ib, ic,
+                                  new_mask | bits | bits2, iw, ix, iy, iz))
+                stack.append(item2)
+            elif n_cand > 1:
+                stack.append(("open", ptr, ib, ic, new_mask | bits,
+                              iw, ix, iy, iz))
+            item = ("mem", a0 + drained, blen - drained)
+        return (steps, c_first, c_rev, c_mem, c_idle)
+
+    per_tile = np.zeros((t_cap, 5), np.int64)
+    per_tile_c2 = np.zeros((t_cap, 5), np.int64)
+    for t in range(t_cap):
+        if piece_len[t] > 0:
+            per_tile[t] = walk_tile(t)
+    hist = cand_hist.copy()
+    cand_hist[:] = 0
+    for t in range(t_cap):
+        if piece_len[t] > 0:
+            per_tile_c2[t] = walk_tile(t, cache2=True)
+
+    tot = per_tile.sum(axis=0)
+    tot2 = per_tile_c2.sum(axis=0)
+    blocks = max(1, t_cap // ta_blk)
+
+    def lockstep(v):
+        return int(
+            sum(
+                v[b * ta_blk : (b + 1) * ta_blk].max(initial=0)
+                for b in range(blocks)
+            )
+        )
+
+    print(
+        json.dumps(
+            {
+                "n": n, "theta": theta, "init": args.init,
+                "tiles": int((piece_len > 0).sum()),
+                "steps_total": int(tot[0]),
+                "first_visits": int(tot[1]),
+                "revisits": int(tot[2]),
+                "member_steps": int(tot[3]),
+                "idle_pops": int(tot[4]),
+                "revisit_frac": round(float(tot[2] / max(tot[0], 1)), 4),
+                "ncand_hist_first_visits": hist.tolist(),
+                "steps_total_cache2": int(tot2[0]),
+                "revisits_cache2": int(tot2[2]),
+                "lockstep_steps": lockstep(per_tile[order, 0]),
+                "lockstep_steps_cache2": lockstep(per_tile_c2[order, 0]),
+            }
+        )
+    )
+
+
+def jnp_min(x, v):
+    import jax.numpy as jnp
+
+    return jnp.minimum(x, v)
+
+
+if __name__ == "__main__":
+    main()
