@@ -100,18 +100,28 @@ def main() -> None:
 
     cand_hist = np.zeros(9, np.int64)  # n_cand at first visits
 
-    def walk_tile(t, cache2=False):
+    def walk_tile(t, mode="base"):
         """Returns (steps, first_visits, revisits, member_steps, idle_pops).
 
         One tuple entry per lockstep step the kernel would spend on this
-        lane, classified by what the step does. With cache2=True,
-        simulates the candidate-caching design: each open step extracts
-        candidates #1 AND #2; a fully-drained member candidate installs
-        #2 in the same step (no stay revisit), a descend pushes #2
-        directly (plus an old-style parent entry only when >= 3
-        candidates remain), so a node with k candidates costs
-        max(k-2, 0) revisits instead of k-1.
+        lane, classified by what the step does. Modes:
+
+        base     the shipping kernel: at most one push per step (the
+                 parent, carrying a processed-children mask); every
+                 additional candidate costs a parent revisit.
+        cache2   candidate-caching: each open step extracts candidates
+                 #1 AND #2; a fully-drained member candidate installs #2
+                 in the same step (no stay revisit), a descend pushes #2
+                 directly (plus an old-style parent entry only when >= 3
+                 candidates remain, i.e. up to TWO pushes per step), so
+                 a node with k candidates costs max(k-2, 0) revisits
+                 instead of k-1.
+        cache2s  single-push variant: like cache2 but only when exactly
+                 2 candidates remain (push #2 INSTEAD of the parent);
+                 k > 2 keeps the base behavior. No stack-depth growth.
         """
+        cache2 = mode == "cache2"
+        cache2s = mode == "cache2s"
         lo, hi = blo[t], bhi[t]
 
         def dmin_to(px, py, pz):
@@ -120,11 +130,11 @@ def main() -> None:
             dz = max(lo[2] - pz, pz - hi[2], 0.0)
             return (dx * dx + dy * dy + dz * dz) ** 0.5
 
-        c_first, c_rev, c_mem, c_idle = 0, 0, 0, 0
+        c_first, c_rev, c_mem, c_idle, max_sp = 0, 0, 0, 0, 0
         # root classification (free: happens outside the loop)
         r = nodes[0]
         if r[WIDTH] < theta * dmin_to(r[0], r[1], r[2]):
-            return (0, 0, 0, 0, 0)
+            return (0, 0, 0, 0, 0, 0)
         if root_term:
             item = ("mem", int(first[0]), int(count[0]))
         else:
@@ -134,6 +144,7 @@ def main() -> None:
         steps = 0
         while True:
             steps += 1
+            max_sp = max(max_sp, len(stack))
             if item[0] == "mem":
                 c_mem += 1
                 _, a, b = item
@@ -230,19 +241,25 @@ def main() -> None:
                     item = stack.pop()
                     continue
                 break
+            def do_push(bits):
+                """Stack pushes for a descend into candidate #1."""
+                if n_cand == 1:
+                    return
+                if cache2 or (cache2s and n_cand == 2):
+                    bits2, item2 = item_of(cands[1])
+                    if n_cand > 2:  # only reachable in full cache2
+                        stack.append(("open", ptr, ib, ic,
+                                      new_mask | bits | bits2, iw, ix, iy, iz))
+                    stack.append(item2)
+                else:
+                    stack.append(("open", ptr, ib, ic, new_mask | bits,
+                                  iw, ix, iy, iz))
+
             cand = cands[0]
             if open_c[cand]:
                 bits = 1 << cand
                 child = item_of(cand)[1]
-                if cache2 and n_cand > 1:
-                    bits2, item2 = item_of(cands[1])
-                    if n_cand > 2:
-                        stack.append(("open", ptr, ib, ic,
-                                      new_mask | bits | bits2, iw, ix, iy, iz))
-                    stack.append(item2)
-                elif n_cand > 1:
-                    stack.append(("open", ptr, ib, ic, new_mask | bits,
-                                  iw, ix, iy, iz))
+                do_push(bits)
                 item = child
                 continue
             # member run candidate
@@ -251,14 +268,14 @@ def main() -> None:
             drained = min(drain_cap, blen)
             if drained > 0 and drained >= blen:
                 # fully drained
-                if cache2:
-                    if n_cand == 1:
-                        if stack:
-                            item = stack.pop()
-                            continue
-                        break
+                if (cache2 or cache2s) and n_cand == 1:
+                    if stack:
+                        item = stack.pop()
+                        continue
+                    break
+                if cache2 or (cache2s and n_cand == 2):
                     bits2, item2 = item_of(cands[1])
-                    if n_cand > 2:
+                    if n_cand > 2:  # only reachable in full cache2
                         stack.append(("open", ptr, ib, ic,
                                       new_mask | bits | bits2, iw, ix, iy, iz))
                     item = item2
@@ -266,31 +283,23 @@ def main() -> None:
                 # stay on this node (a revisit step follows)
                 item = ("open", ptr, ib, ic, new_mask | bits, iw, ix, iy, iz)
                 continue
-            if cache2 and n_cand > 1:
-                bits2, item2 = item_of(cands[1])
-                if n_cand > 2:
-                    stack.append(("open", ptr, ib, ic,
-                                  new_mask | bits | bits2, iw, ix, iy, iz))
-                stack.append(item2)
-            elif n_cand > 1:
-                stack.append(("open", ptr, ib, ic, new_mask | bits,
-                              iw, ix, iy, iz))
+            do_push(bits)
             item = ("mem", a0 + drained, blen - drained)
-        return (steps, c_first, c_rev, c_mem, c_idle)
+        return (steps, c_first, c_rev, c_mem, c_idle, max_sp)
 
-    per_tile = np.zeros((t_cap, 5), np.int64)
-    per_tile_c2 = np.zeros((t_cap, 5), np.int64)
-    for t in range(t_cap):
-        if piece_len[t] > 0:
-            per_tile[t] = walk_tile(t)
-    hist = cand_hist.copy()
-    cand_hist[:] = 0
-    for t in range(t_cap):
-        if piece_len[t] > 0:
-            per_tile_c2[t] = walk_tile(t, cache2=True)
+    modes = ["base", "cache2s", "cache2"]
+    per_mode = {}
+    hist = None
+    for m in modes:
+        pt = np.zeros((t_cap, 6), np.int64)
+        cand_hist[:] = 0
+        for t in range(t_cap):
+            if piece_len[t] > 0:
+                pt[t] = walk_tile(t, mode=m)
+        per_mode[m] = pt
+        if m == "base":
+            hist = cand_hist.copy()
 
-    tot = per_tile.sum(axis=0)
-    tot2 = per_tile_c2.sum(axis=0)
     blocks = max(1, t_cap // ta_blk)
 
     def lockstep(v):
@@ -301,25 +310,26 @@ def main() -> None:
             )
         )
 
-    print(
-        json.dumps(
-            {
-                "n": n, "theta": theta, "init": args.init,
-                "tiles": int((piece_len > 0).sum()),
-                "steps_total": int(tot[0]),
-                "first_visits": int(tot[1]),
-                "revisits": int(tot[2]),
-                "member_steps": int(tot[3]),
-                "idle_pops": int(tot[4]),
-                "revisit_frac": round(float(tot[2] / max(tot[0], 1)), 4),
-                "ncand_hist_first_visits": hist.tolist(),
-                "steps_total_cache2": int(tot2[0]),
-                "revisits_cache2": int(tot2[2]),
-                "lockstep_steps": lockstep(per_tile[order, 0]),
-                "lockstep_steps_cache2": lockstep(per_tile_c2[order, 0]),
-            }
-        )
-    )
+    tot = per_mode["base"].sum(axis=0)
+    out = {
+        "n": n, "theta": theta, "init": args.init,
+        "tiles": int((piece_len > 0).sum()),
+        "steps_total": int(tot[0]),
+        "first_visits": int(tot[1]),
+        "revisits": int(tot[2]),
+        "member_steps": int(tot[3]),
+        "idle_pops": int(tot[4]),
+        "revisit_frac": round(float(tot[2] / max(tot[0], 1)), 4),
+        "ncand_hist_first_visits": hist.tolist(),
+    }
+    for m in modes:
+        pt = per_mode[m]
+        out[f"lockstep_{m}"] = lockstep(pt[order, 0])
+        out[f"max_stack_{m}"] = int(pt[:, 5].max())
+        if m != "base":
+            out[f"steps_total_{m}"] = int(pt[:, 0].sum())
+            out[f"revisits_{m}"] = int(pt[:, 2].sum())
+    print(json.dumps(out))
 
 
 def jnp_min(x, v):

@@ -28,13 +28,16 @@ reference's workgroup-of-64 dispatch, sims/mod.rs:7):
            theta-tests all 8 children at once, emitting up to 8 accepted
            point rows; opened-leaf member runs (Morton-adjacent leaf
            children merge into one contiguous particle range) stream 8
-           member rows per step. Descent uses a (depth)-deep per-lane
-           stack of resume items updated with select chains (at most ONE
-           push per step: the parent is re-visited with a processed-
-           children mask to pick up its next open/member child, a
-           re-gather being far cheaper than multi-item pushes). Measured
+           member rows per step. Descent uses a bounded per-lane stack
+           of items updated with select chains, with CANDIDATE CACHING:
+           each open step extracts the node's first TWO unprocessed
+           open/member children; a descend pushes candidate #2 as a
+           direct item (popping it needs no parent re-gather), and a
+           parent-resume entry (processed-children mask) is pushed
+           underneath only when a third candidate remains. Measured
            3.7x fewer lockstep steps than the skip-pointer engine at
-           N=1M disc (host sim: 7.7k vs 29k).
+           N=1M disc (host sim: 7.7k vs 29k), and caching cut another
+           17-19% (tools/walk_sim.py).
 
            skip engine (fallback for octet-less trees — LET forests,
            host-built oracles): the stackless skip-pointer walk, one node
@@ -200,7 +203,7 @@ def group_tree_forces(
     n = pos_new.shape[0]  # receivers
     n_src = src_pos.shape[0]
     cap = tree.nodes_f32.shape[0] - 1
-    g = tree_params.walk_tile
+    g = tree_params.effective_walk_tile(n)
     l_cap = tree_params.walk_list_cap
     theta = tree_params.theta
     gdt = params.g * params.dt
@@ -496,12 +499,20 @@ def group_tree_forces(
         columns: cell center = parent center +- w/4 by the stored octant
         digit, cog = the 9-bit cell-relative quantization, with the
         theta test inflated by the sqrt(3)/1024 dequantization bound so
-        acceptance stays conservative. The resume stack holds one item
-        per tree level (only descents push; the parent is re-entered
-        with its mask to find its next open/member child), so
-        S = max_depth + margin bounds it; overflow defers the lane.
+        acceptance stays conservative. The resume stack holds AT MOST
+        TWO items per level of the current path: a descend pushes the
+        node's *second* candidate child directly (a fresh item — the pop
+        installs it with no parent re-gather) plus, when three or more
+        candidates remain, one classic parent-resume entry whose mask
+        covers both consumed candidates. Candidate caching removes the
+        1-revisit-per-node floor of the single-push design: host sim
+        (tools/walk_sim.py) measured ~34% of lockstep steps were parent
+        revisits, and caching cut lockstep steps 17-19% (disc theta=0.5
+        / uniform theta=0.75) for a stack-depth rise of only ~1.5x
+        (8 -> 12 entries at N=65k). S = 1.5*(max_depth + margin) bounds
+        it; overflow defers the lane to the exact fallback.
         """
-        s_cap = depth + 4
+        s_cap = ((depth + 4) * 3) // 2
         octets = tree.octets
         q_scale = jnp.float32(1.0 / 512.0)
         accf = jnp.float32(1.0 + 0.002 * theta)
@@ -648,7 +659,9 @@ def group_tree_forces(
                             | (unit_l[c] & (pos[c] < k_slots))
                         )
                 # next open/member child = lowest candidate slot, via a
-                # descending select chain
+                # descending select chain; candidate #2 (second-lowest
+                # slot) rides the same chain — each hit shifts the old
+                # #1 registers into the #2 registers before overwriting
                 n_kind = jnp.zeros((width,), jnp.int32)
                 n_a = jnp.zeros((width,), jnp.int32)
                 n_b = jnp.zeros((width,), jnp.int32)
@@ -657,12 +670,28 @@ def group_tree_forces(
                 n_cx = jnp.zeros((width,), jnp.float32)
                 n_cy = jnp.zeros((width,), jnp.float32)
                 n_cz = jnp.zeros((width,), jnp.float32)
+                n2_kind = jnp.zeros((width,), jnp.int32)
+                n2_a = jnp.zeros((width,), jnp.int32)
+                n2_b = jnp.zeros((width,), jnp.int32)
+                n2_c = jnp.zeros((width,), jnp.int32)
+                n2_bits = jnp.zeros((width,), jnp.int32)
+                n2_cx = jnp.zeros((width,), jnp.float32)
+                n2_cy = jnp.zeros((width,), jnp.float32)
+                n2_cz = jnp.zeros((width,), jnp.float32)
                 any_cand = jnp.zeros((width,), bool)
                 n_cand = jnp.zeros((width,), jnp.int32)
                 done_bits = jnp.zeros((width,), jnp.int32)
                 for c in range(7, -1, -1):
                     sel = copen_l[c] | (cmem_l[c] & run_start[c])
                     opn = copen_l[c]
+                    n2_kind = jnp.where(sel, n_kind, n2_kind)
+                    n2_a = jnp.where(sel, n_a, n2_a)
+                    n2_b = jnp.where(sel, n_b, n2_b)
+                    n2_c = jnp.where(sel, n_c, n2_c)
+                    n2_bits = jnp.where(sel, n_bits, n2_bits)
+                    n2_cx = jnp.where(sel, n_cx, n2_cx)
+                    n2_cy = jnp.where(sel, n_cy, n2_cy)
+                    n2_cz = jnp.where(sel, n_cz, n2_cz)
                     n_kind = jnp.where(sel, jnp.where(opn, 1, 2), n_kind)
                     n_a = jnp.where(
                         sel, jnp.where(opn, raw[:, 3 * c + 1], cfirst[c]), n_a
@@ -752,18 +781,31 @@ def group_tree_forces(
                         ),
                     )
                     step_rows.append(row_k)
-                resume_mask = im | done_bits | n_bits
                 cont = mem_lane & (ib > c_mem)
                 descend = open_lane & any_cand & ~spill & ~stay_drain
-                push = descend & (n_cand > 1)
+                # candidate caching: a descend pushes candidate #2 as a
+                # DIRECT item (its pop needs no parent re-gather); the
+                # parent-resume entry is pushed underneath only when a
+                # third candidate remains. A fully-drained chosen run
+                # (stay_drain) installs candidate #2 in the same step
+                # instead of a stay/revisit — or pops immediately when
+                # nothing is left.
+                take2 = stay_drain & (n_cand >= 2)
+                push_c2 = descend & (n_cand > 1)
+                push_par = (descend | take2) & (n_cand > 2)
                 pop = (
-                    act & ~cont & ~spill & ~stay_drain & ~descend & (sp > 0)
+                    act & ~cont & ~spill & ~descend & ~take2 & (sp > 0)
                 )
-                overflow = push & (sp >= s_cap)
-                push = push & ~overflow
-                # single-slot stack write (push) + top read (pop): the
-                # write is one fused where per register over the (S, TA)
-                # stack; the read is an unrolled elementwise select chain
+                npush = push_par.astype(jnp.int32) + push_c2.astype(
+                    jnp.int32
+                )
+                overflow = (sp + npush) > s_cap
+                push_par = push_par & ~overflow
+                push_c2 = push_c2 & ~overflow
+                # two-slot stack write (parent at sp, candidate #2 above
+                # it) + top read (pop): each write is one fused where
+                # pair per register over the (S, TA) stack; the read is
+                # an unrolled elementwise select chain
                 p_k = jnp.zeros((width,), jnp.int32)
                 p_a = jnp.zeros((width,), jnp.int32)
                 p_b = jnp.zeros((width,), jnp.int32)
@@ -785,58 +827,114 @@ def group_tree_forces(
                     p_y = jnp.where(rsel, sy[d], p_y)
                     p_z = jnp.where(rsel, sz[d], p_z)
                 dd = jnp.arange(s_cap, dtype=jnp.int32)[:, None]
-                wsel = push[None, :] & (sp[None, :] == dd)
-                sk = jnp.where(wsel, 1, sk)
-                sa = jnp.where(wsel, ia[None, :], sa)
-                sb = jnp.where(wsel, ib[None, :], sb)
-                sc = jnp.where(wsel, ic[None, :], sc)
-                sm = jnp.where(wsel, resume_mask[None, :], sm)
-                sw = jnp.where(wsel, iw[None, :], sw)
-                sx = jnp.where(wsel, ix[None, :], sx)
-                sy = jnp.where(wsel, iy[None, :], sy)
-                sz = jnp.where(wsel, iz[None, :], sz)
-                sp = sp + push.astype(jnp.int32) - pop.astype(jnp.int32)
-                keep = cont | spill | stay_drain  # same item continues
+                sp_c2 = sp + push_par.astype(jnp.int32)
+                wsel_p = push_par[None, :] & (sp[None, :] == dd)
+                wsel_2 = push_c2[None, :] & (sp_c2[None, :] == dd)
+                # the parent entry is only pushed when candidates #1 AND
+                # #2 are both being consumed this step, so its resume
+                # mask covers both
+                parent_mask = im | done_bits | n_bits | n2_bits
+                sk = jnp.where(wsel_p, 1, jnp.where(wsel_2, n2_kind[None, :], sk))
+                sa = jnp.where(
+                    wsel_p, ia[None, :], jnp.where(wsel_2, n2_a[None, :], sa)
+                )
+                sb = jnp.where(
+                    wsel_p, ib[None, :], jnp.where(wsel_2, n2_b[None, :], sb)
+                )
+                sc = jnp.where(
+                    wsel_p, ic[None, :], jnp.where(wsel_2, n2_c[None, :], sc)
+                )
+                sm = jnp.where(
+                    wsel_p, parent_mask[None, :], jnp.where(wsel_2, 0, sm)
+                )
+                sw = jnp.where(
+                    wsel_p, iw[None, :], jnp.where(wsel_2, cw[None, :], sw)
+                )
+                sx = jnp.where(
+                    wsel_p, ix[None, :], jnp.where(wsel_2, n2_cx[None, :], sx)
+                )
+                sy = jnp.where(
+                    wsel_p, iy[None, :], jnp.where(wsel_2, n2_cy[None, :], sy)
+                )
+                sz = jnp.where(
+                    wsel_p, iz[None, :], jnp.where(wsel_2, n2_cz[None, :], sz)
+                )
+                sp = sp + npush - pop.astype(jnp.int32)
+                keep = cont | spill  # same item continues
                 kind = jnp.where(
                     keep,
                     kind,
-                    jnp.where(descend, n_kind, jnp.where(pop, p_k, 0)),
+                    jnp.where(
+                        descend,
+                        n_kind,
+                        jnp.where(take2, n2_kind, jnp.where(pop, p_k, 0)),
+                    ),
                 )
                 ia = jnp.where(
                     keep,
                     jnp.where(cont, ia + c_mem, ia),
-                    jnp.where(descend, n_a_eff, jnp.where(pop, p_a, 0)),
+                    jnp.where(
+                        descend,
+                        n_a_eff,
+                        jnp.where(take2, n2_a, jnp.where(pop, p_a, 0)),
+                    ),
                 )
                 ib = jnp.where(
                     keep,
                     jnp.where(cont, ib - c_mem, ib),
-                    jnp.where(descend, n_b_eff, jnp.where(pop, p_b, 0)),
+                    jnp.where(
+                        descend,
+                        n_b_eff,
+                        jnp.where(take2, n2_b, jnp.where(pop, p_b, 0)),
+                    ),
                 )
                 ic = jnp.where(
-                    keep, ic, jnp.where(descend, n_c, jnp.where(pop, p_c, 0))
+                    keep,
+                    ic,
+                    jnp.where(
+                        descend,
+                        n_c,
+                        jnp.where(take2, n2_c, jnp.where(pop, p_c, 0)),
+                    ),
                 )
                 im = jnp.where(
                     keep,
-                    jnp.where(
-                        cont,
-                        0,
-                        im
-                        | done_bits
-                        | jnp.where(stay_drain, n_bits, 0),
-                    ),
-                    jnp.where(descend, 0, jnp.where(pop, p_m, 0)),
+                    jnp.where(cont, 0, im | done_bits),
+                    jnp.where(descend | take2, 0, jnp.where(pop, p_m, 0)),
                 )
                 iw = jnp.where(
-                    keep, iw, jnp.where(descend, cw, jnp.where(pop, p_w, 0.0))
+                    keep,
+                    iw,
+                    jnp.where(
+                        descend | take2, cw, jnp.where(pop, p_w, 0.0)
+                    ),
                 )
                 ix = jnp.where(
-                    keep, ix, jnp.where(descend, n_cx, jnp.where(pop, p_x, 0.0))
+                    keep,
+                    ix,
+                    jnp.where(
+                        descend,
+                        n_cx,
+                        jnp.where(take2, n2_cx, jnp.where(pop, p_x, 0.0)),
+                    ),
                 )
                 iy = jnp.where(
-                    keep, iy, jnp.where(descend, n_cy, jnp.where(pop, p_y, 0.0))
+                    keep,
+                    iy,
+                    jnp.where(
+                        descend,
+                        n_cy,
+                        jnp.where(take2, n2_cy, jnp.where(pop, p_y, 0.0)),
+                    ),
                 )
                 iz = jnp.where(
-                    keep, iz, jnp.where(descend, n_cz, jnp.where(pop, p_z, 0.0))
+                    keep,
+                    iz,
+                    jnp.where(
+                        descend,
+                        n_cz,
+                        jnp.where(take2, n2_cz, jnp.where(pop, p_z, 0.0)),
+                    ),
                 )
                 kind = jnp.where(overflow, 0, kind)
                 bad = bad | overflow

@@ -324,7 +324,7 @@ def let_memory_bytes(
     n_l = n // p
     cap_l = tp.capacity(n_l)
     r = let_cap
-    g = tp.walk_tile
+    g = tp.effective_walk_tile(n_l)
     t_cap = -(-n_l // g) + max(8, 2 * -(-n_l // g))
     # LET forests carry no octet tables, so the walk runs the skip engine
     # (2x l_cap rows); the octet engine's 4x budget applies single-chip

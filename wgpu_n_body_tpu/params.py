@@ -101,6 +101,13 @@ class TreeParams:
         at least as accurate as per-particle) or "per_particle"
         (reference-exact acceptance pattern).
       walk_tile: particles per tile for the group walk (Morton-adjacent).
+        None (default) resolves by receiver count: 512 at N >= 2M, 256
+        below. Bigger tiles amortize the gather-latency-bound traversal
+        over more particles but pay more per-tile bbox slack; swept on
+        v5e (2026-08-18, same session): 512 wins at N=2M theta=0.5 disc
+        (1.24 vs 1.48 s) and N=4M uniform (1.82 vs 2.25 s), loses at
+        N=1M theta=0.75 disc (0.52 vs 0.45 s), washes at N=100k
+        (1024 and 128 lose everywhere measured).
       walk_list_cap: static per-tile interaction-list capacity (rounded up
         to a multiple of 256 internally). List rows hold theta-accepted
         nodes AND expanded members of opened leaf buckets; tiles that
@@ -147,13 +154,20 @@ class TreeParams:
     node_capacity_factor: float | None = None
     leaf_bucket: int = 16
     walk: str = "group"
-    walk_tile: int = 256
+    walk_tile: int | None = None
     walk_list_cap: int = 8192
     walk_block: int = 2048
     walk_straggler_budget: int = 2
     walk_straggler_slots: int = 8
     walk_engine: str = "octet"
     octet_capacity_factor: float | None = None
+
+    def effective_walk_tile(self, n: int) -> int:
+        """walk_tile with the receiver-count-aware default resolved
+        (n = receivers in this walk: N single-chip, N/P per shard)."""
+        if self.walk_tile is not None:
+            return self.walk_tile
+        return 512 if n >= (1 << 21) else 256
 
     @property
     def effective_capacity_factor(self) -> float:
