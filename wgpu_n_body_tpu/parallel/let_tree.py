@@ -313,6 +313,61 @@ def assemble_forest(
     return forest, total
 
 
+def assemble_import_forest(imp: LetExport) -> TreeArrays:
+    """Concatenate ONLY the P import buffers into a walkable DFS forest.
+
+    Used by the split LET walk: the local tree keeps its octet tables
+    (the fast group-walk engine), so only the small import forest —
+    P * let_cap rows of already-pruned subtrees — needs the generic
+    skip-pointer walk, and gravity adds the two accelerations. Walking
+    starts at buffer 0 row 0; each buffer's sentinel tail rows jump to
+    the next buffer (one inert hop per boundary). The matching particle
+    table is ``imp.parts`` flattened: row ``first[k]`` of buffer b is
+    payload ``b * let_cap + k`` (exactly how ``first`` is rewritten
+    here), and member payload indices never collide with receiver gids
+    as long as callers pass ``gid_offset >= P * let_cap``.
+    """
+    p, r_cap = imp.skip.shape
+    total = p * r_cap
+    offs = jnp.arange(p, dtype=jnp.int32)[:, None]
+    # trailing inert row (the group walk's list-sentinel target): far
+    # zero-mass single, matching export_walk's in-buffer sentinel rows
+    sent_row = jnp.concatenate(
+        [
+            jnp.full((1, 1), 1e15, jnp.float32),
+            jnp.zeros((1, 3), jnp.float32),
+            jnp.zeros((1, 1), jnp.float32),  # width
+            jnp.ones((1, 1), jnp.float32),  # is_single
+            jnp.ones((1, 1), jnp.float32),  # no_child
+            jnp.zeros((1, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    return TreeArrays(
+        nodes_f32=jnp.concatenate(
+            [imp.nodes.reshape(total, 8), sent_row], axis=0
+        ),
+        skip=jnp.concatenate(
+            [
+                (imp.skip + offs * r_cap).reshape(-1),
+                jnp.full((1,), total, jnp.int32),
+            ]
+        ),
+        first=jnp.concatenate(
+            [
+                (imp.first + offs * r_cap).reshape(-1),
+                jnp.full((1,), total, jnp.int32),
+            ]
+        ),
+        count=jnp.concatenate(
+            [imp.count.reshape(-1), jnp.zeros((1,), jnp.int32)]
+        ),
+        num_nodes=jnp.int32(total),
+        root_width=jnp.float32(0.0),
+        overflowed=jnp.any(imp.overflow),
+    )
+
+
 def let_memory_bytes(
     n: int, p: int, tp, let_cap: int = 8192, walk_list_rows: int | None = None
 ) -> dict:
@@ -326,20 +381,25 @@ def let_memory_bytes(
     r = let_cap
     g = tp.effective_walk_tile(n_l)
     t_cap = -(-n_l // g) + max(8, 2 * -(-n_l // g))
-    # LET forests carry no octet tables, so the walk runs the skip engine
-    # (2x l_cap rows); the octet engine's 4x budget applies single-chip
     rows = walk_list_rows or (-(-(2 * tp.walk_list_cap) // 256) * 256)
     ta_blk = min(2048, t_cap)
     sizes = {
         # two generations of SoA state (donated ping-pong)
         "state": 2 * n_l * 40,
         "local_arena": (cap_l + 1) * (32 + 12),  # nodes_f32 + skip/first/count
-        "forest": (cap_l + 1 + p * r + 1) * (32 + 12),
+        # import-only forest (the split walk keeps the local tree as-is)
+        "import_forest": (p * r + 1) * (32 + 12),
         "export_import": 2 * p * r * (32 + 12 + 16),  # exports + imports
-        "eval_table": (cap_l + 1 + p * r + 1 + n_l + 1 + p * r) * 32,
+        # local walk's comb table (octet engine: octet_pts + pair rows)
+        # plus the import walk's (import node rows + payload part rows)
+        "eval_tables": (3 * ((n_l + 1) // 2)) * 32
+        + (p * r + 1 + p * r) * 32,
         "tiles": t_cap * g * 3 * 4 + t_cap * g * 4,  # tile pos + gid
         "phase_a_lists": rows * ta_blk * 4,
         "acc_tiles": t_cap * g * 3 * 4,
     }
+    if tp.walk_engine == "octet":
+        cap_oct = tp.octet_capacity(n_l)
+        sizes["local_octets"] = cap_oct * 24 * 4 + (cap_oct * 12 + 2) * 32
     sizes["total"] = sum(sizes.values())
     return sizes

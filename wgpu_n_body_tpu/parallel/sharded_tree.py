@@ -10,9 +10,13 @@ chip is O(N), matching the reference's single-GPU budget.
 Each chip Morton-sorts LOCALLY (against a pmax-global bound so cells
 align), builds an octree over only its slice — O(N/P) build and memory —
 and exchanges *locally-essential* pruned subtrees (parallel/let_tree.py):
-one bbox-probed DFS export walk per destination, one all_to_all, then the
-unchanged single-chip walks traverse the concatenated forest of
-[local tree | P imports]. Per-chip memory is O(N/P + P*let_cap):
+one bbox-probed DFS export walk per destination, one all_to_all, then a
+SPLIT walk: the local tree keeps its octet tables and is traversed by
+the same fast engine as single-chip, while the small import forest
+(P*let_cap already-pruned rows) runs the generic skip-pointer walk and
+the two accelerations add. (Engines without octet tables fall back to
+one skip walk over the concatenated [local tree | P imports] forest.)
+Per-chip memory is O(N/P + P*let_cap):
 N=32M on a v5e-8 fits in ~2 GB/chip of live state (see
 tests/test_let.py::test_let_memory_budget_32m), where the replicated
 schedule needs the full O(N) ~ 10+ GB.
@@ -48,6 +52,7 @@ from wgpu_n_body_tpu.params import ParticleState, SimParams, TreeParams
 from wgpu_n_body_tpu.parallel.let_tree import (
     LetExport,
     assemble_forest,
+    assemble_import_forest,
     export_walk,
 )
 from wgpu_n_body_tpu.parallel.mesh import PARTICLE_AXIS, state_sharding
@@ -104,30 +109,60 @@ def make_sharded_tree_step(
                 for x in exp
             )
         )
-        forest, _ = assemble_forest(tree_l, imp, n_local)
-        src_pos_cat = jnp.concatenate(
-            [
-                pos_s,
-                jnp.full((1, 3), 1e15, jnp.float32),
+        if tp.walk == "group" and tree_l.octets is not None:
+            # SPLIT walk: the concatenated forest cannot carry octet
+            # tables (imports are pruned DFS lists, not octant-packed),
+            # so walking it would demote the DOMINANT local-tree
+            # traversal to the skip engine and waste the octet tables
+            # the local build already emitted. Instead walk the local
+            # tree with the fast octet engine (identical to the
+            # single-chip call) and the small import forest (P*let_cap
+            # already-pruned rows) with the skip engine; gravity is a
+            # sum, so the accelerations add. gid_offset pushes receiver
+            # gids past every import-payload index so the member
+            # self-exclusion can never alias (a chip's own particles
+            # are not in its imports — the self lane exports nothing).
+            acc_loc, _s1 = group_tree_forces(
+                pos_new, pos_s, mass_s, tree_l, keys, params, tp
+            )
+            imp_forest = assemble_import_forest(imp)
+            acc_imp, _s2 = group_tree_forces(
+                pos_new,
                 imp.parts[:, :, :3].reshape(-1, 3),
-            ]
-        )
-        src_mass_cat = jnp.concatenate(
-            [
-                mass_s,
-                jnp.zeros((1,), jnp.float32),
                 imp.parts[:, :, 3].reshape(-1),
-            ]
-        )
-        if tp.walk == "group":
-            acc_new, _stats = group_tree_forces(
-                pos_new, src_pos_cat, src_mass_cat, forest, keys, params, tp
+                imp_forest,
+                keys,
+                params,
+                tp,
+                gid_offset=p_size * let_cap,
             )
+            acc_new = acc_loc + acc_imp
         else:
-            acc_new = tree_forces(
-                pos_new, src_pos_cat, src_mass_cat, forest, params, tp,
-                self_idx=idx,
+            forest, _ = assemble_forest(tree_l, imp, n_local)
+            src_pos_cat = jnp.concatenate(
+                [
+                    pos_s,
+                    jnp.full((1, 3), 1e15, jnp.float32),
+                    imp.parts[:, :, :3].reshape(-1, 3),
+                ]
             )
+            src_mass_cat = jnp.concatenate(
+                [
+                    mass_s,
+                    jnp.zeros((1,), jnp.float32),
+                    imp.parts[:, :, 3].reshape(-1),
+                ]
+            )
+            if tp.walk == "group":
+                acc_new, _stats = group_tree_forces(
+                    pos_new, src_pos_cat, src_mass_cat, forest, keys,
+                    params, tp,
+                )
+            else:
+                acc_new = tree_forces(
+                    pos_new, src_pos_cat, src_mass_cat, forest, params, tp,
+                    self_idx=idx,
+                )
         vel_new = velh_s + acc_new * half
         return pos_new, vel_new, acc_new, mass_s
 
