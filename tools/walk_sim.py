@@ -100,7 +100,7 @@ def main() -> None:
 
     cand_hist = np.zeros(9, np.int64)  # n_cand at first visits
 
-    def walk_tile(t, mode="base"):
+    def walk_tile(t, mode="base", init_mask=0):
         """Returns (steps, first_visits, revisits, member_steps, idle_pops).
 
         One tuple entry per lockstep step the kernel would spend on this
@@ -120,7 +120,7 @@ def main() -> None:
                  2 candidates remain (push #2 INSTEAD of the parent);
                  k > 2 keeps the base behavior. No stack-depth growth.
         """
-        cache2 = mode == "cache2"
+        cache2 = mode in ("cache2", "dual")
         cache2s = mode == "cache2s"
         lo, hi = blo[t], bhi[t]
 
@@ -138,7 +138,7 @@ def main() -> None:
         if root_term:
             item = ("mem", int(first[0]), int(count[0]))
         else:
-            item = ("open", 0, int(first[0]), int(count[0]), 0,
+            item = ("open", 0, int(first[0]), int(count[0]), init_mask,
                     root_w, 0.0, 0.0, 0.0)
         stack = []
         steps = 0
@@ -287,7 +287,89 @@ def main() -> None:
             item = ("mem", a0 + drained, blen - drained)
         return (steps, c_first, c_rev, c_mem, c_idle, max_sp)
 
-    modes = ["base", "cache2s", "cache2"]
+    def dual_masks(t):
+        """Partition the root's candidates into two complementary
+        pre-processed masks (greedy by subtree/run size, descending) for
+        the dual-wavefront walk: each tile runs TWO lockstep contexts
+        over one shared bbox, context i starting at the root with the
+        other context's candidates (and, for context 1, the root's
+        accepted children — emitted once, by context 0) pre-masked.
+        Returns None when there is nothing to split (root accepted,
+        terminal, or < 2 candidates)."""
+        lo, hi = blo[t], bhi[t]
+
+        def dmin_to(px, py, pz):
+            dx = max(lo[0] - px, px - hi[0], 0.0)
+            dy = max(lo[1] - py, py - hi[1], 0.0)
+            dz = max(lo[2] - pz, pz - hi[2], 0.0)
+            return (dx * dx + dy * dy + dz * dz) ** 0.5
+
+        r = nodes[0]
+        if root_term or r[WIDTH] < theta * dmin_to(r[0], r[1], r[2]):
+            return None
+        iw = root_w
+        cw, hq = iw * 0.5, iw * 0.25
+        cell_q = cw / 512.0
+        row = octets[0]
+        ic = int(count[0])
+        ex = [int(row[3 * c]) < 0 for c in range(8)]
+        off = [int(row[3 * c + 2]) for c in range(8)]
+        off_next = [0] * 8
+        off_next[7] = ic
+        for c in range(6, -1, -1):
+            off_next[c] = off[c + 1] if ex[c + 1] else ic
+        acc_c, open_c, mem_c, dmin_c = [], [], [], []
+        for c in range(8):
+            c0 = int(row[3 * c])
+            term = ((c0 >> 30) & 1) == 1
+            digit = (c0 >> 27) & 7
+            qx, qy, qz = c0 & 511, (c0 >> 9) & 511, (c0 >> 18) & 511
+            cx = hq if (digit & 1) else -hq
+            cy = hq if (digit & 2) else -hq
+            cz = hq if (digit & 4) else -hq
+            gx = (cx - hq) + (qx + 0.5) * cell_q
+            gy = (cy - hq) + (qy + 0.5) * cell_q
+            gz = (cz - hq) + (qz + 0.5) * cell_q
+            dm = dmin_to(gx, gy, gz)
+            a = ex[c] and (cw * accf < theta * dm)
+            acc_c.append(a)
+            open_c.append(ex[c] and not a and not term)
+            mem_c.append(ex[c] and not a and term)
+            dmin_c.append(dm)
+
+        def weight_of(c, size):
+            if os.environ.get("DUAL_WEIGHT", "count") == "prox":
+                return size / (1.0 + dmin_c[c] / max(cw, 1e-30)) ** 3
+            return size
+
+        accepted_bits = sum(1 << c for c in range(8) if acc_c[c])
+        cands = []  # (weight, bits)
+        for c in range(8):
+            if open_c[c]:
+                cands.append((weight_of(c, off_next[c] - off[c]), 1 << c))
+            elif mem_c[c] and (c == 0 or not mem_c[c - 1]):
+                e = c
+                bits = 0
+                while e < 8 and mem_c[e]:
+                    bits |= 1 << e
+                    e += 1
+                cands.append((weight_of(c, off_next[e - 1] - off[c]), bits))
+        if len(cands) < 2:
+            return None
+        w = [0, 0]
+        bits2 = [0, 0]
+        seq = (
+            sorted(cands, reverse=True)
+            if os.environ.get("DUAL_ORDER", "sorted") == "sorted"
+            else cands
+        )
+        for weight, bits in seq:
+            i = 0 if w[0] <= w[1] else 1
+            w[i] += weight
+            bits2[i] |= bits
+        return bits2[1], bits2[0] | accepted_bits
+
+    modes = ["base", "cache2s", "cache2", "dual"]
     per_mode = {}
     hist = None
     for m in modes:
@@ -295,7 +377,18 @@ def main() -> None:
         cand_hist[:] = 0
         for t in range(t_cap):
             if piece_len[t] > 0:
-                pt[t] = walk_tile(t, mode=m)
+                if m == "dual":
+                    dm = dual_masks(t)
+                    if dm is None:
+                        pt[t] = walk_tile(t, mode="cache2")
+                    else:
+                        r0 = walk_tile(t, mode="dual", init_mask=dm[0])
+                        r1 = walk_tile(t, mode="dual", init_mask=dm[1])
+                        pt[t] = [max(r0[0], r1[0])] + [
+                            a + b for a, b in zip(r0[1:5], r1[1:5])
+                        ] + [max(r0[5], r1[5])]
+                else:
+                    pt[t] = walk_tile(t, mode=m)
         per_mode[m] = pt
         if m == "base":
             hist = cand_hist.copy()
