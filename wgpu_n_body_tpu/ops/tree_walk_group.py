@@ -102,6 +102,14 @@ _FORCE_TWO_PASS = False
 # measured best (see comment at use site). Module-level for experiments.
 _OCTET_UNROLL = 8
 
+# Pass-1 blocks stop once fewer than ta_blk/_ACT_FLOOR_DIV lanes remain
+# active (see act_floor1 at the use site). Pass-2 width scales with the
+# floor, so unlike the pre-resize 1/8 cliff (CLAUDE.md) this is a safe
+# knob — swept on v5e 2026-08-18 at N=2M theta=0.5 disc: div 8: 1.250 s,
+# 16: 1.221, 32: 1.214 (flat within same-session noise; 16 kept).
+# Module-level for experiments.
+_ACT_FLOOR_DIV = 16
+
 # Fallback batch tiers: deferral counts <= _FB_SMALL_CAP walk one
 # compacted batch (the common couple-of-dense-tiles case); anything
 # larger runs the chunked while loop in batches of max(2x this, n/16).
@@ -1117,7 +1125,7 @@ def group_tree_forces(
     # the second phase-A instantiation would double the already-painful
     # LLVM compile and the lockstep tail costs nothing off-TPU.
     act_floor1 = (
-        ta_blk // 16
+        ta_blk // _ACT_FLOOR_DIV
         if (jax.default_backend() == "tpu" or _FORCE_TWO_PASS)
         else 0
     )
