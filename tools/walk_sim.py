@@ -164,8 +164,9 @@ def main() -> None:
             cw, hq = iw * 0.5, iw * 0.25
             cell_q = cw / 512.0
             row = octets[ptr]
-            ex = [int(row[3 * c]) < 0 for c in range(8)]  # bit 31 set
-            off = [int(row[3 * c + 2]) for c in range(8)]
+            ex = [int(row[c]) < 0 for c in range(8)]  # bit 31 set
+            off = [int(row[8 + c]) for c in range(8)]
+            fc = int(row[16])
             off_next = [0] * 8
             off_next[7] = ic
             for c in range(6, -1, -1):
@@ -173,7 +174,7 @@ def main() -> None:
             acc_c, term_c, open_c, mem_c = [], [], [], []
             geom = []
             for c in range(8):
-                c0 = int(row[3 * c])
+                c0 = int(row[c])
                 term = ((c0 >> 30) & 1) == 1
                 digit = (c0 >> 27) & 7
                 qx, qy, qz = c0 & 511, (c0 >> 9) & 511, (c0 >> 18) & 511
@@ -227,8 +228,12 @@ def main() -> None:
             def item_of(c):
                 """(bits, item) for candidate c, as a pop would install it."""
                 if open_c[c]:
+                    # BFS-ranked table: child row = fc + #(internal < c)
+                    ptr_c = fc + sum(
+                        1 for k in range(c) if ex[k] and not term_c[k]
+                    )
                     return 1 << c, (
-                        "open", int(row[3 * c + 1]), ib + off[c],
+                        "open", ptr_c, ib + off[c],
                         off_next[c] - off[c], 0, cw, *geom[c],
                     )
                 bits, a0, blen = run_of(c)
@@ -312,15 +317,15 @@ def main() -> None:
         cell_q = cw / 512.0
         row = octets[0]
         ic = int(count[0])
-        ex = [int(row[3 * c]) < 0 for c in range(8)]
-        off = [int(row[3 * c + 2]) for c in range(8)]
+        ex = [int(row[c]) < 0 for c in range(8)]
+        off = [int(row[8 + c]) for c in range(8)]
         off_next = [0] * 8
         off_next[7] = ic
         for c in range(6, -1, -1):
             off_next[c] = off[c + 1] if ex[c + 1] else ic
         acc_c, open_c, mem_c, dmin_c = [], [], [], []
         for c in range(8):
-            c0 = int(row[3 * c])
+            c0 = int(row[c])
             term = ((c0 >> 30) & 1) == 1
             digit = (c0 >> 27) & 7
             qx, qy, qz = c0 & 511, (c0 >> 9) & 511, (c0 >> 18) & 511

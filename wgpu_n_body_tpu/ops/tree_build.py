@@ -66,17 +66,23 @@ class TreeArrays(NamedTuple):
     overflowed: () bool — the unclamped node count exceeded cap; forces
                 from this tree are truncated and the tree must be rebuilt
                 with a larger node_capacity_factor (or bigger leaf_bucket).
-    octets:     (octet_capacity, 24) int32 or None — one row per INTERNAL
-                node (compact index = rank among internal nodes in DFS
-                order; the root is rank 0 when internal), holding its
-                children in compact slot order (= ascending Morton
-                octant), 3 cols per child — see the packing comment in
-                build_tree. One row gather hands the group walk all eight
-                child theta-tests at once; TPU row-gather cost scales
-                with table width x size, hence the compact rows and
-                packed columns. None for hand-assembled trees (LET
-                forests, host oracle); walks then use the skip-pointer
-                phase A.
+    octets:     (octet_capacity, 17) int32 or None — one row per INTERNAL
+                node (compact index = rank among internal nodes in BFS
+                order, i.e. sorted by (level, DFS order); the root is
+                rank 0 when internal), holding its children in compact
+                slot order (= ascending Morton octant): cols 0-7 packed
+                child geometry, cols 8-15 per-child particle offset
+                within the parent run, col 16 the octet row of the
+                node's FIRST internal child. BFS rank makes a node's
+                internal children CONTIGUOUS rows, so the per-child
+                pointer column collapses to first-child + popcount of
+                internal children before the slot (decoded from cols
+                0-7) — 24 -> 17 cols. One row gather hands the group
+                walk all eight child theta-tests at once; TPU row-gather
+                cost scales with table width x size, hence the compact
+                rows and packed columns. None for hand-assembled trees
+                (LET forests, host oracle); walks then use the
+                skip-pointer phase A.
     octet_pts:  (octet_capacity*12 + 2, 8) int32 or None — comb-table
                 TWO-point rows matched to octets, laid out SLOT-major
                 (assembly is then pure concatenation — ptr-major order
@@ -113,7 +119,13 @@ class TreeArrays(NamedTuple):
     octet_pts: jax.Array | None = None
 
 
-OCTET_CHILD_COLS = 3  # per-child columns in TreeArrays.octets
+# TreeArrays.octets column indices: packed child geometry in cols
+# [OCT_GEOM0 + c], per-child particle offsets in cols [OCT_OFF0 + c],
+# first-internal-child octet row in col OCT_FC.
+OCT_GEOM0 = 0
+OCT_OFF0 = 8
+OCT_FC = 16
+OCTET_COLS = 17
 
 
 def morton_order(pos: jax.Array, depth: int):
@@ -349,15 +361,21 @@ def build_tree(
     # TPU row gathers get faster the narrower AND smaller the table
     # (measured on v5e: (2M,40) 92 us vs (250k,24) ~22 us per 2048-row
     # step), so the octet table indexes only INTERNAL nodes (the ones a
-    # walk can open) and packs each child into 3 int32 columns:
-    #   col0  [exists:1][terminal:1][octant digit:3][qz:9][qy:9][qx:9] —
+    # walk can open) and packs each child into 2 int32 columns plus one
+    # shared pointer column (17-col rows, was 24 before the BFS re-rank):
+    #   geom[c] (cols 0-7)
+    #         [exists:1][terminal:1][octant digit:3][qz:9][qy:9][qx:9] —
     #         the child cog quantized to 1/512ths of its own cell (the
     #         walk dequantizes from the parent center + digit and inflates
     #         the theta test by the sqrt(3)/1024 cell-relative error, so
     #         acceptance stays conservative)
-    #   col1  child's own octet row (internal children; junk for leaves)
-    #   col2  child's particle offset within the parent run (firsts and
+    #   off[c] (cols 8-15)
+    #         child's particle offset within the parent run (firsts and
     #         member-run lengths are offset differences — no counts col)
+    #   fc (col 16)
+    #         octet row of the FIRST internal child; child c's own row
+    #         is fc + popcount(internal children at slots < c), exact
+    #         because rows are BFS-ranked (see the re-rank above)
     # Children sit in COMPACT slot order (DFS sibling order == ascending
     # Morton digit), found by chasing the sibling skip-chain from
     # first-child = parent+1 — eight bulk row-gathers instead of the
@@ -382,10 +400,39 @@ def build_tree(
     irank = jnp.cumsum(is_internal.astype(jnp.int32)) - 1
     n_internal = jnp.where(num_nodes_raw > 0, irank[-1] + 1, 0)
     oct_overflow = n_internal > cap_oct
-    p_of = (
+    p_of_dfs = (
         jnp.zeros((cap_oct,), jnp.int32)
         .at[jnp.where(is_internal & (irank < cap_oct), irank, cap_oct)]
         .set(jnp.arange(cap_pad, dtype=jnp.int32), mode="drop")
+    )
+    # BFS re-rank: octet rows sorted by (level, DFS order). Within one
+    # level, DFS order = first-particle order, and every level-(L+1)
+    # node whose first particle falls inside a level-L run is that
+    # run's child — so a parent's internal children occupy CONTIGUOUS
+    # BFS ranks and one first-child pointer (+ a popcount over the
+    # packed cols, done by the walk) replaces the 8 per-child pointer
+    # columns. The sort is cap_oct-sized (0.08N) int32 keys — noise
+    # next to the arena-sized emission above. Key = lvl*cap_oct + rank
+    # stays within int32 for cap_oct up to ~126M rows. Keys are unique,
+    # so the unstable default is exact. Invalid rows (>= n_internal)
+    # key to INT32_MAX: they sort to the tail with payload 0, exactly
+    # the junk rows the DFS layout carried.
+    oct_iota = jnp.arange(cap_oct, dtype=jnp.int32)
+    lvl_oct = jnp.take(chain_pad[:, 4], jnp.minimum(p_of_dfs, cap_pad - 1))
+    okey = jnp.where(
+        oct_iota < n_internal,
+        lvl_oct * cap_oct + oct_iota,
+        jnp.int32(0x7FFFFFFF),
+    )
+    _, p_of, dfs_rank_s = lax.sort(
+        (okey, p_of_dfs, oct_iota), num_keys=1
+    )
+    # inverse permutation: child octet pointers below are DFS iranks
+    # (a global cumsum over the arena) and must be re-ranked to BFS
+    brank_of_dfs = (
+        jnp.zeros((cap_oct,), jnp.int32)
+        .at[dfs_rank_s]
+        .set(oct_iota, mode="drop")
     )
 
     # per-node payload rows for the gathers below were assembled by the
@@ -413,7 +460,10 @@ def build_tree(
         ex_c.append(ex)
         if c < 7:
             u = jnp.where(ex, jnp.minimum(jnp.take(skip, u), cap), u)
-    oct_cols = []
+    geom_cols = []
+    off_cols = []
+    int_child = []
+    brank_ch = []
     pts_rows = []
     far_bits = lax.bitcast_convert_type(jnp.float32(1e15), jnp.int32)
     for c in range(8):
@@ -447,9 +497,12 @@ def build_tree(
             | q[:, 0],
             0,
         )
-        col1 = jnp.where(ex, ptr_u, 0)
-        col2 = jnp.where(ex, first_u - p_first, 0)
-        oct_cols.extend([col0, col1, col2])
+        geom_cols.append(col0)
+        off_cols.append(jnp.where(ex, first_u - p_first, 0))
+        int_child.append(ex & ~term_u)
+        brank_ch.append(
+            jnp.take(brank_of_dfs, jnp.clip(ptr_u, 0, cap_oct - 1))
+        )
         # comb rows are TWO-point rows ([x1 y1 z1 m1 x2 y2 z2 m2]; the
         # group walk's member pairs fill both; node rows leave point 2 a
         # massless far dummy — far so an exactly-coincident receiver can't
@@ -469,7 +522,16 @@ def build_tree(
                 axis=1,
             )
         )
-    octets = jnp.stack(oct_cols, axis=1)  # (cap_oct, 24)
+    # first internal child's BFS octet row (descending select chain so
+    # the lowest slot wins; 0 when the node has no internal children —
+    # the walk never reads fc then, its popcount prefix is only added
+    # for slots decoded internal from the geom cols)
+    fc_col = jnp.zeros((cap_oct,), jnp.int32)
+    for c in range(7, -1, -1):
+        fc_col = jnp.where(int_child[c], brank_ch[c], fc_col)
+    octets = jnp.stack(
+        geom_cols + off_cols + [fc_col], axis=1
+    )  # (cap_oct, 17)
     # point rows at ptr*8 + slot, then [root | sentinel] (the walk appends
     # source-particle member-pair rows after these)
     # Root cols read as FOUR (1,1) element slices, not nodes[0:1, :]:

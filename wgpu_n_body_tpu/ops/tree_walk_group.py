@@ -517,10 +517,14 @@ def group_tree_forces(
         (tools/walk_sim.py) measured ~34% of lockstep steps were parent
         revisits, and caching cut lockstep steps 17-19% (disc theta=0.5
         / uniform theta=0.75) for a stack-depth rise of only ~1.5x
-        (8 -> 12 entries at N=65k). S = 1.5*(max_depth + margin) bounds
-        it; overflow defers the lane to the exact fallback.
+        (8 -> 12 entries at N=65k). S = 2*(max_depth + 2) is the HARD
+        bound (a descend pushes at most 2 entries per level of the
+        current path: candidate #2 + parent-resume), so overflow —
+        which defers the lane to the exact fallback — can only fire on
+        paths deeper than max_depth, i.e. never. The extra stack rows
+        over the old empirical 1.5*(depth+4) cost < 1 MB per block.
         """
-        s_cap = ((depth + 4) * 3) // 2
+        s_cap = 2 * (depth + 2)
         octets = tree.octets
         q_scale = jnp.float32(1.0 / 512.0)
         accf = jnp.float32(1.0 + 0.002 * theta)
@@ -573,13 +577,23 @@ def group_tree_forces(
                 is_mem = kind == 2
                 act = kind > 0
                 ptr = jnp.clip(jnp.where(is_open, ia, 0), 0, cap_oct - 1)
-                raw = jnp.take(octets, ptr, axis=0)  # (TA, 24) int32
+                raw = jnp.take(octets, ptr, axis=0)  # (TA, 17) int32
                 cw = iw * 0.5
                 hq = iw * 0.25
                 cell_q = cw * q_scale
-                col0 = [raw[:, 3 * c] for c in range(8)]
-                off = [raw[:, 3 * c + 2] for c in range(8)]
+                col0 = [raw[:, c] for c in range(8)]
+                off = [raw[:, 8 + c] for c in range(8)]
                 exists = [c0 < 0 for c0 in col0]
+                # BFS-ranked table: internal children are contiguous
+                # rows, child c's octet row = fc + #(internal slots < c)
+                fc = raw[:, 16]
+                int_pref = []
+                run_int = jnp.zeros((width,), jnp.int32)
+                for c in range(8):
+                    int_pref.append(run_int)
+                    run_int = run_int + (
+                        exists[c] & (((col0[c] >> 30) & 1) == 0)
+                    ).astype(jnp.int32)
                 # children are slot-compact (absent only at the tail), so
                 # the next offset is the next slot's, or parent count last
                 off_next = [None] * 8
@@ -702,7 +716,9 @@ def group_tree_forces(
                     n2_cz = jnp.where(sel, n_cz, n2_cz)
                     n_kind = jnp.where(sel, jnp.where(opn, 1, 2), n_kind)
                     n_a = jnp.where(
-                        sel, jnp.where(opn, raw[:, 3 * c + 1], cfirst[c]), n_a
+                        sel,
+                        jnp.where(opn, fc + int_pref[c], cfirst[c]),
+                        n_a,
                     )
                     n_b = jnp.where(
                         sel,
@@ -810,6 +826,13 @@ def group_tree_forces(
                 overflow = (sp + npush) > s_cap
                 push_par = push_par & ~overflow
                 push_c2 = push_c2 & ~overflow
+                # recompute from the masked flags so sp stays in
+                # [0, s_cap] even on overflowed (deferred) lanes — a
+                # stale npush left the carry inconsistent (sp up to 2
+                # past s_cap), a trap if such lanes were ever resumed
+                npush = push_par.astype(jnp.int32) + push_c2.astype(
+                    jnp.int32
+                )
                 # two-slot stack write (parent at sp, candidate #2 above
                 # it) + top read (pop): each write is one fused where
                 # pair per register over the (S, TA) stack; the read is

@@ -400,6 +400,6 @@ def let_memory_bytes(
     }
     if tp.walk_engine == "octet":
         cap_oct = tp.octet_capacity(n_l)
-        sizes["local_octets"] = cap_oct * 24 * 4 + (cap_oct * 12 + 2) * 32
+        sizes["local_octets"] = cap_oct * 17 * 4 + (cap_oct * 12 + 2) * 32
     sizes["total"] = sum(sizes.values())
     return sizes
