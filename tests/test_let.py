@@ -9,7 +9,12 @@ import numpy as np
 from wgpu_n_body_tpu.inits import disc_init, uniform_init
 from wgpu_n_body_tpu.models.naive import NaiveSim
 from wgpu_n_body_tpu.models.tree import TreeSim
-from wgpu_n_body_tpu.params import NaiveParams, SimParams, TreeParams
+from wgpu_n_body_tpu.params import (
+    NaiveParams,
+    ParticleState,
+    SimParams,
+    TreeParams,
+)
 from wgpu_n_body_tpu.parallel import (
     ShardedTreeSim,
     let_memory_bytes,
@@ -195,3 +200,211 @@ def test_let_multi_step_stays_finite():
     pos = np.asarray(st.pos)
     assert np.isfinite(pos).all()
     assert len(st.pos.sharding.device_set) == 8
+
+
+def test_sharded_overflow_surfaces_in_runner():
+    """VERDICT r2 weak #1: an undersized let_cap must make the runner
+    RAISE (via ShardedTreeSim.check_overflow, wired into the runner's
+    existing hasattr hook) instead of silently truncating remote forces.
+    Mirrors tests/test_tree.py::test_overflow_surfaces_in_runner."""
+    import pytest
+
+    from wgpu_n_body_tpu.runners.headless import OfflineHeadless
+
+    n = 2048
+    params = SimParams(particle_num=n, g=1e-4)
+    tp = TreeParams(theta=0.75, max_depth=8, walk_tile=64, walk_list_cap=2048)
+    mesh = make_mesh()
+
+    bad = ShardedTreeSim(params, mesh, tp, schedule="let", let_cap=8)
+    st = bad.init_state(jax.random.key(6), uniform_init)
+    with pytest.raises(RuntimeError, match="LET export overflow"):
+        bad.check_overflow(st)
+    runner = OfflineHeadless(bad, uniform_init, key=6, donate=False)
+    with pytest.raises(RuntimeError, match="LET export overflow"):
+        runner.run(steps=2)
+
+    # a healthy config passes the same runner hook silently, and its
+    # diagnose exposes the walks' deferral counter
+    ok = ShardedTreeSim(params, mesh, tp, schedule="let", let_cap=4096)
+    ok_runner = OfflineHeadless(ok, uniform_init, key=6, donate=False)
+    ok_runner.run(steps=2)
+    d = ok.diagnose(ok_runner.state)
+    assert d["overflowed"] is False
+    assert d["let_overflowed"] is False
+    assert d["walk_deferred"] == 0
+    assert 0 < d["let_export_rows_max"] <= 4096
+
+
+def test_sharded_replicated_arena_overflow_raises():
+    """The replicated schedule's (global) build-arena overflow must
+    surface through the same check_overflow hook."""
+    import pytest
+
+    from wgpu_n_body_tpu.params import ParticleState
+
+    n = 64
+    params = SimParams(particle_num=n, g=1e-3)
+    tp = TreeParams(theta=0.5, max_depth=16, leaf_bucket=1,
+                    node_capacity_factor=1, walk_tile=8, walk_list_cap=1024)
+    mesh = make_mesh()
+    # tight pairs overflow a factor-1 arena (test_tree.py repro)
+    base = jax.random.uniform(
+        jax.random.key(0), (n // 2, 3), minval=-1.0, maxval=1.0
+    )
+    pos = jnp.concatenate([base, base + 1e-6])
+    st = shard_state(
+        ParticleState(
+            pos=pos,
+            vel=jnp.zeros((n, 3), jnp.float32),
+            acc=jnp.zeros((n, 3), jnp.float32),
+            mass=jnp.ones((n,), jnp.float32),
+        ),
+        mesh,
+    )
+    sim = ShardedTreeSim(params, mesh, tp, schedule="replicated")
+    with pytest.raises(RuntimeError, match="arena overflow"):
+        sim.check_overflow(st)
+
+
+def _elongated_scene(n, tp, key=0):
+    """Quasi-1-D scene (x in [-8,8], thin yz) with ballistic mixing
+    velocities: Morton slices are then segments along x, so far chips
+    start spatially separated (tiny exports) and drift genuinely mixes
+    ownership — the LET schedule's documented failure mode."""
+    k1, k2 = jax.random.split(jax.random.key(key))
+    pos = jax.random.uniform(
+        k1, (n, 3), minval=-1.0, maxval=1.0
+    ) * jnp.array([8.0, 0.05, 0.05])
+    velx = jax.random.uniform(k2, (n,), minval=-1.0, maxval=1.0)
+    vel = jnp.stack([velx, jnp.zeros(n), jnp.zeros(n)], axis=1)
+    from wgpu_n_body_tpu.ops.tree_build import morton_order
+
+    perm, _, _ = morton_order(pos, tp.max_depth)
+    return pos[perm].astype(jnp.float32), vel[perm].astype(jnp.float32)
+
+
+def test_reshard_bounds_export_growth():
+    """VERDICT r2 weak #2 mechanism: ownership drift grows LET exports
+    toward the full remote tree; a Morton re-shard restores the compact
+    pruned cut. Probed per destination with export_walk directly (the
+    far-chip signal; the adjacent-neighbor export rightly stays large
+    at this scale — leaf cells are comparable to chip separation)."""
+    from wgpu_n_body_tpu.ops.tree_build import morton_order
+
+    n, p = 32768, 8
+    nl = n // p
+    tp = TreeParams(theta=0.75, max_depth=12, leaf_bucket=4)
+    pos0, vel0 = _elongated_scene(n, tp)
+
+    def far_rows(pos_t, reshard):
+        if reshard:
+            p2, _, _ = morton_order(pos_t, tp.max_depth)
+            pos_t = pos_t[p2]
+        slices = [pos_t[i * nl : (i + 1) * nl] for i in range(p)]
+        blo = jnp.stack([s.min(axis=0) for s in slices])
+        bhi = jnp.stack([s.max(axis=0) for s in slices])
+        st = ParticleState(
+            pos=slices[0], vel=slices[0], acc=slices[0],
+            mass=jnp.ones((nl,), jnp.float32),
+        )
+        ss, bound, keys = morton_sort(st, tp.max_depth)
+        tree = build_tree(ss, keys, bound, tp)
+        exp = export_walk(
+            tree, ss.pos, ss.mass, blo, bhi, jnp.int32(0), tp.theta, 16384
+        )
+        assert not bool(jnp.any(exp.overflow))
+        # destination 7 owns the far end of the x range
+        return int(exp.n_rows[7])
+
+    fresh = far_rows(pos0, False)
+    drifted = far_rows(pos0 + 8.0 * vel0, False)
+    resharded = far_rows(pos0 + 8.0 * vel0, True)
+    assert fresh < 200  # compact ownership: far export is a coarse cut
+    assert drifted > 10 * fresh  # drift degrades it by an order of magnitude
+    assert resharded < 2 * fresh  # re-shard restores the compact cut
+
+
+def test_reshard_is_exact_permutation_and_runner_cadence():
+    """reshard() must be a pure permutation of the system state, and the
+    runner's reshard_every cadence must drive it (multi-step LET run on
+    mixing clusters stays finite and healthy)."""
+    from wgpu_n_body_tpu.runners.headless import OfflineHeadless
+
+    n = 2048
+    params = SimParams(particle_num=n, g=1e-5, dt=0.02)
+    tp = TreeParams(theta=0.75, max_depth=8, walk="per_particle")
+    mesh = make_mesh()
+    pos0, vel0 = _elongated_scene(n, tp, key=3)
+
+    def init(key, p):
+        return ParticleState(
+            pos=pos0, vel=vel0,
+            acc=jnp.zeros((n, 3), jnp.float32),
+            mass=jnp.ones((n,), jnp.float32),
+        )
+
+    sim = ShardedTreeSim(params, mesh, tp, schedule="let", let_cap=4096)
+    st = sim.init_state(jax.random.key(0), init)
+
+    # exact permutation: same multiset of (pos, vel, acc, mass) rows.
+    # (read the inputs BEFORE resharding — reshard donates its argument)
+    a = np.concatenate(
+        [np.asarray(st.pos), np.asarray(st.vel), np.asarray(st.mass)[:, None]],
+        axis=1,
+    )
+    rs = sim.reshard(st)
+    b = np.concatenate(
+        [np.asarray(rs.pos), np.asarray(rs.vel), np.asarray(rs.mass)[:, None]],
+        axis=1,
+    )
+    np.testing.assert_array_equal(
+        a[np.lexsort(a.T)], b[np.lexsort(b.T)]
+    )
+
+    runner = OfflineHeadless(sim, init, key=0, donate=False)
+    runner.run(steps=6, reshard_every=2)
+    assert np.isfinite(np.asarray(runner.state.pos)).all()
+    d = sim.diagnose(runner.state)
+    assert not d["let_overflowed"] and not d["overflowed"]
+
+
+def test_let_checkpoint_resume_bit_equivalence(tmp_path):
+    """VERDICT r2 weak #4: checkpoints must be resume-complete for
+    sharded runs — add_params + schedule + mesh axes stored, and
+    load onto an explicit mesh resumes bit-identically."""
+    from wgpu_n_body_tpu.runners.headless import OfflineHeadless
+    from wgpu_n_body_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    n = 1024
+    params = SimParams(particle_num=n, g=1e-4, dt=0.01)
+    tp = TreeParams(theta=0.6, max_depth=8, walk="per_particle")
+    mesh = make_mesh()
+    sim = ShardedTreeSim(params, mesh, tp, schedule="let", let_cap=2048)
+    r1 = OfflineHeadless(sim, uniform_init, key=9, donate=False)
+    r1.run(steps=2)
+    ck = str(tmp_path / "let.npz")
+    save_checkpoint(ck, r1.state, params, r1.step_num, sim=sim)
+    r1.run(steps=2)
+
+    ckpt = load_checkpoint(ck, mesh=mesh)
+    assert ckpt.step == 2
+    assert ckpt.params == params
+    assert ckpt.add_params == tp
+    assert ckpt.schedule == {
+        "name": "let",
+        "let_cap": 2048,
+        "mesh_axes": {"particles": 8},
+    }
+    assert len(ckpt.state.pos.sharding.device_set) == 8
+    sim2 = ckpt.make_sim(mesh=mesh)
+    assert isinstance(sim2, ShardedTreeSim)
+    r2 = OfflineHeadless(sim2, uniform_init, key=9, donate=False)
+    r2.state, r2.step_num = ckpt.state, ckpt.step
+    r2.run(steps=2)
+    np.testing.assert_array_equal(
+        np.asarray(r1.state.pos), np.asarray(r2.state.pos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r1.state.vel), np.asarray(r2.state.vel)
+    )

@@ -60,7 +60,8 @@ def test_checkpoint_resume_equivalence(tmp_path):
     save_checkpoint(ck, r1.state, PARAMS, r1.step_num)
     r1.run(steps=3)
 
-    state, params, step = load_checkpoint(ck)
+    ckpt = load_checkpoint(ck)
+    state, params, step = ckpt.state, ckpt.params, ckpt.step
     assert step == 3 and params == PARAMS
     r2 = OfflineHeadless(NaiveSim(params, NP_), uniform_init, key=0)
     r2.state, r2.step_num = state, step

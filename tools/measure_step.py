@@ -1,0 +1,89 @@
+"""Measure one full tree/naive step config on the current backend.
+
+Fresh-process min-of-REPS with hard_sync + donated buffers (the only
+timing discipline that is trustworthy on the axon tunnel — CLAUDE.md).
+Prints one JSON line. Run ONE of these at a time against the TPU.
+
+Usage:
+  python tools/measure_step.py --n 2000000 --theta 0.5 --init disc
+  python tools/measure_step.py --n 32000000 --theta 0.75 --init uniform
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, required=True)
+    ap.add_argument("--theta", type=float, default=0.75)
+    ap.add_argument("--init", choices=["uniform", "disc", "spherical"], default="uniform")
+    ap.add_argument("--sim", choices=["tree", "naive"], default="tree")
+    ap.add_argument("--g", type=float, default=1e-6)
+    ap.add_argument("--dt", type=float, default=0.016)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--tag", type=str, default="")
+    args = ap.parse_args()
+
+    cache = os.path.expanduser("~/.cache/wgpu_n_body_tpu/xla")
+    os.makedirs(cache, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from wgpu_n_body_tpu import inits
+    from wgpu_n_body_tpu.params import SimParams, TreeParams
+    from wgpu_n_body_tpu.utils.profiling import hard_sync
+
+    init_fn = {
+        "uniform": inits.uniform_init,
+        "disc": inits.disc_init,
+        "spherical": inits.spherical_init,
+    }[args.init]
+    sp = SimParams(particle_num=args.n, g=args.g, dt=args.dt)
+    if args.sim == "tree":
+        from wgpu_n_body_tpu.models.tree import TreeSim
+
+        sim = TreeSim(sp, TreeParams(theta=args.theta))
+    else:
+        from wgpu_n_body_tpu.models.naive import NaiveSim
+
+        sim = NaiveSim(sp)
+
+    state = sim.init_state(jax.random.key(0), init_fn)
+    step = sim.make_step(donate=True)
+    t0 = time.perf_counter()
+    state = step(state)  # compile + warmup
+    hard_sync(state.pos)
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        state = step(state)
+        hard_sync(state.pos)
+        times.append(time.perf_counter() - t0)
+
+    rec = {
+        "tag": args.tag,
+        "sim": args.sim,
+        "n": args.n,
+        "theta": args.theta,
+        "init": args.init,
+        "min_s": min(times),
+        "median_s": sorted(times)[len(times) // 2],
+        "all_s": [round(t, 4) for t in times],
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(rec))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

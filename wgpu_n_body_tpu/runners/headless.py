@@ -85,14 +85,25 @@ class OfflineHeadless:
         checkpoint_every: int = 0,
         energy_every: int = 0,
         overflow_check_every: int = 0,
+        reshard_every: int = 0,
+        diag_log_every: int = 0,
         log_fn: Callable[[str], None] = print,
     ) -> ParticleState:
         """Drive ``steps`` steps with optional periodic side channels.
 
         Backends exposing ``check_overflow`` (TreeSim: octree arena
-        overflow means silently truncated forces) are checked once after
-        the first batch, and every ``overflow_check_every`` steps if set;
-        overflow raises RuntimeError instead of corrupting the run.
+        overflow means silently truncated forces; ShardedTreeSim: also
+        LET export truncation) are checked once after the first batch,
+        and every ``overflow_check_every`` steps if set; overflow raises
+        RuntimeError instead of corrupting the run.
+
+        ``reshard_every``: backends exposing ``reshard`` (ShardedTreeSim)
+        are re-partitioned at this cadence — under schedule="let" this
+        bounds export growth from ownership drift (a pure permutation;
+        physics unchanged). ``diag_log_every``: backends exposing
+        ``diagnose`` log their health dict (walk deferral is the early
+        indicator of the documented mass-deferral cliff) at this cadence;
+        costs about one extra step per log, so pick a sparse cadence.
         """
         if trajectory is not None and trajectory_every <= 0:
             trajectory_every = max(chunk, 1)
@@ -128,6 +139,18 @@ class OfflineHeadless:
                 )
             ):
                 self.sim.check_overflow(self.state)
+            if (
+                reshard_every
+                and hasattr(self.sim, "reshard")
+                and self.step_num % reshard_every < k
+            ):
+                self.state = self.sim.reshard(self.state)
+            if (
+                diag_log_every
+                and hasattr(self.sim, "diagnose")
+                and self.step_num % diag_log_every < k
+            ):
+                log_fn(f"step {self.step_num}: {self.sim.diagnose(self.state)}")
             if log_every and (done % log_every < k):
                 us = self.timer.times_s[-1] / k * 1e6
                 log_fn(f"step {self.step_num}: {us:.1f} us/step")
@@ -139,7 +162,8 @@ class OfflineHeadless:
                 and self.step_num % checkpoint_every == 0
             ):
                 save_checkpoint(
-                    checkpoint_path, self.state, self.sim.sim_params, self.step_num
+                    checkpoint_path, self.state, self.sim.sim_params,
+                    self.step_num, sim=self.sim,
                 )
             if energy_every and self.step_num % energy_every == 0:
                 e = float(total_energy(self.state, self.sim.sim_params))
