@@ -27,6 +27,13 @@ def main() -> int:
     ap.add_argument("--dt", type=float, default=0.016)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--tag", type=str, default="")
+    ap.add_argument(
+        "--flags",
+        type=str,
+        default="",
+        help="comma-separated tree_walk_group debug flag names to set True "
+        "(fresh-process per variant, so jit trace reuse is impossible)",
+    )
     args = ap.parse_args()
 
     cache = os.path.expanduser("~/.cache/wgpu_n_body_tpu/xla")
@@ -39,6 +46,14 @@ def main() -> int:
     from wgpu_n_body_tpu import inits
     from wgpu_n_body_tpu.params import SimParams, TreeParams
     from wgpu_n_body_tpu.utils.profiling import hard_sync
+
+    if args.flags:
+        import wgpu_n_body_tpu.ops.tree_walk_group as twg
+
+        for name in args.flags.split(","):
+            if not hasattr(twg, name):
+                raise SystemExit(f"unknown debug flag {name!r}")
+            setattr(twg, name, True)
 
     init_fn = {
         "uniform": inits.uniform_init,

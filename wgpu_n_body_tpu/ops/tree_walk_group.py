@@ -117,6 +117,21 @@ _ACT_FLOOR_DIV = 16
 # path on tiny scenes.
 _FB_SMALL_CAP = 4096
 
+# Internal instrumentation: when True, eval_block skips the per-lane
+# compaction sort and evaluates over the raw emitted slots (forces stay
+# EXACT — sentinel rows contribute zero — but eval scans ~1.8x rows).
+# Isolates the sort's cost vs its eval saving on the real chip.
+_DEBUG_SKIP_COMPACT = False
+
+# Internal instrumentation: when True, each octet-walk step issues a
+# SECOND dependent gather of the octet table (at the first-child pointer
+# of the row just fetched) and folds its value into the traversal chain
+# at 1e-30 scale (numerically a no-op, but un-DCE-able and serialized).
+# The step-time delta vs baseline = the marginal per-step hop cost on the
+# real workload — the only trustworthy gather instrument on this tunnel
+# (standalone microbenches contradict in-step sweeps; CLAUDE.md).
+_DEBUG_EXTRA_GATHER = False
+
 # Internal instrumentation: when True, the straggler pass (phase-A pass 2
 # + its eval) is skipped entirely AND straggler tiles' bad flags are
 # cleared (their forces are simply wrong/partial) so profiling scripts
@@ -578,6 +593,17 @@ def group_tree_forces(
                 act = kind > 0
                 ptr = jnp.clip(jnp.where(is_open, ia, 0), 0, cap_oct - 1)
                 raw = jnp.take(octets, ptr, axis=0)  # (TA, 17) int32
+                if _DEBUG_EXTRA_GATHER:
+                    # second dependent hop at the fetched first-child
+                    # pointer; 1e-30*value folded into the traversal
+                    # chain is numerically exact (product ~1e-21 rounds
+                    # away against O(1) cell centers) but un-DCE-able,
+                    # so the hop serializes like a real table access
+                    ptr2 = jnp.clip(raw[:, 16], 0, cap_oct - 1)
+                    raw2 = jnp.take(octets, ptr2, axis=0)
+                    ix = ix + jnp.float32(1e-30) * (
+                        raw2[:, 0].astype(jnp.float32)
+                    )
                 cw = iw * 0.5
                 hq = iw * 0.25
                 cell_q = cw * q_scale
@@ -1007,13 +1033,14 @@ def group_tree_forces(
         # ids are remapped to INT32_MAX for the sort because real ids
         # exist on both sides of `sent` (member/pair rows sit above it).
         big = jnp.int32(0x7FFFFFFF)
-        lists_b = lax.sort(
-            jnp.where(lists_b == sent, big, lists_b),
-            dimension=0,
-            is_stable=False,
-        )
-        visits_b = jnp.sum((lists_b != big).astype(jnp.int32), axis=0)
-        lists_b = jnp.where(lists_b == big, sent, lists_b)
+        if not _DEBUG_SKIP_COMPACT:
+            lists_b = lax.sort(
+                jnp.where(lists_b == sent, big, lists_b),
+                dimension=0,
+                is_stable=False,
+            )
+            visits_b = jnp.sum((lists_b != big).astype(jnp.int32), axis=0)
+            lists_b = jnp.where(lists_b == big, sent, lists_b)
         ord_b = jnp.argsort(-visits_b).astype(jnp.int32)
         lists_bs = jnp.take(lists_b, ord_b, axis=1)
         visits_bs = jnp.take(visits_b, ord_b)
