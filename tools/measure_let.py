@@ -1,0 +1,169 @@
+"""Price the LET schedule's per-chip step components on ONE real chip.
+
+VERDICT r2 weak #3: the v5e-8 projection for BASELINE config 4 priced
+`export_walk` and the import-forest walk without a single TPU
+measurement. Everything except the all_to_all itself is measurable on
+one chip: this script times, for a chip owning n_local particles of an
+N = P * n_local run,
+
+  sort        local Morton sort (the step's prologue)
+  build       local octree build
+  export      export_walk over P synthetic destination bboxes
+              (contiguous Morton-slice bounds of the local set — the
+              shape real neighbor chips present)
+  import_walk the split LET walk's second half: group walk of the local
+              receivers against a P x let_cap import forest assembled
+              from real export buffers
+  local_walk  the split LET walk's first half (== the single-chip walk)
+
+Run ONE component per fresh process (within-process later jits measure
+up to 1.5x slow, CLAUDE.md); each prints one JSON line. Example:
+
+  for c in sort build export import_walk local_walk; do
+    python tools/measure_let.py --n-local 4000000 --theta 0.75 \
+        --component $c --tag v5e8-proj
+  done
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-local", type=int, default=4_000_000)
+    ap.add_argument("--p", type=int, default=8)
+    ap.add_argument("--theta", type=float, default=0.75)
+    ap.add_argument("--init", choices=["uniform", "disc", "spherical"],
+                    default="uniform")
+    ap.add_argument("--let-cap", type=int, default=16384)
+    ap.add_argument(
+        "--component",
+        choices=["sort", "build", "export", "import_walk", "local_walk"],
+        required=True,
+    )
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--tag", type=str, default="")
+    args = ap.parse_args()
+
+    cache = os.path.expanduser("~/.cache/wgpu_n_body_tpu/xla")
+    os.makedirs(cache, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from wgpu_n_body_tpu import inits
+    from wgpu_n_body_tpu.ops.tree_build import build_tree, morton_sort
+    from wgpu_n_body_tpu.ops.tree_walk_group import group_tree_forces
+    from wgpu_n_body_tpu.parallel.let_tree import (
+        assemble_import_forest,
+        export_walk,
+    )
+    from wgpu_n_body_tpu.params import SimParams, TreeParams
+    from wgpu_n_body_tpu.utils.profiling import hard_sync
+
+    init_fn = {
+        "uniform": inits.uniform_init,
+        "disc": inits.disc_init,
+        "spherical": inits.spherical_init,
+    }[args.init]
+    n, p = args.n_local, args.p
+    sp = SimParams(particle_num=n, g=1e-6, dt=0.016)
+    tp = TreeParams(theta=args.theta)
+    state = init_fn(jax.random.key(0), sp)
+
+    # prologue products every component needs (computed once, unjitted
+    # timing-wise irrelevant here; the timed fn is jitted below)
+    sort_j = jax.jit(lambda st: morton_sort(st, tp.max_depth))
+    ss, bound, keys = sort_j(state)
+    build_j = jax.jit(lambda s, k, b: build_tree(s, k, b, tp))
+    tree = build_j(ss, keys, bound)
+
+    # synthetic destination bboxes: P contiguous Morton slices of the
+    # local sorted set (what compact neighbor ownership looks like)
+    nl = n // p
+    blo = jnp.stack(
+        [ss.pos[i * nl : (i + 1) * nl].min(axis=0) for i in range(p)]
+    )
+    bhi = jnp.stack(
+        [ss.pos[i * nl : (i + 1) * nl].max(axis=0) for i in range(p)]
+    )
+
+    if args.component == "sort":
+        fn = lambda: sort_j(state)[0].pos
+    elif args.component == "build":
+        fn = lambda: build_j(ss, keys, bound).nodes_f32
+    elif args.component == "export":
+        exp_j = jax.jit(
+            lambda t, pos, mass: export_walk(
+                t, pos, mass, blo, bhi, jnp.int32(0), tp.theta, args.let_cap
+            )
+        )
+        fn = lambda: exp_j(tree, ss.pos, ss.mass).nodes
+    elif args.component == "import_walk":
+        exp = export_walk(
+            tree, ss.pos, ss.mass, blo, bhi, jnp.int32(0), tp.theta,
+            args.let_cap,
+        )
+        rows = [int(x) for x in exp.n_rows]
+        ovf = [bool(x) for x in exp.overflow]
+
+        def imp_walk(pos_new, parts, imp_local):
+            forest = assemble_import_forest(imp_local)
+            return group_tree_forces(
+                pos_new,
+                parts[:, :, :3].reshape(-1, 3),
+                parts[:, :, 3].reshape(-1),
+                forest,
+                keys,
+                sp,
+                tp,
+                gid_offset=p * args.let_cap,
+            )[0]
+
+        imp_j = jax.jit(imp_walk)
+        fn = lambda: imp_j(ss.pos, exp.parts, exp)
+    else:  # local_walk
+        walk_j = jax.jit(
+            lambda pos_new, pos, mass, t: group_tree_forces(
+                pos_new, pos, mass, t, keys, sp, tp
+            )[0]
+        )
+        fn = lambda: walk_j(ss.pos, ss.pos, ss.mass, tree)
+
+    out = fn()  # compile + warmup
+    hard_sync(jax.tree_util.tree_leaves(out)[0])
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        out = fn()
+        hard_sync(jax.tree_util.tree_leaves(out)[0])
+        times.append(time.perf_counter() - t0)
+
+    rec = {
+        "tag": args.tag,
+        "component": args.component,
+        "n_local": n,
+        "p": p,
+        "theta": args.theta,
+        "init": args.init,
+        "let_cap": args.let_cap,
+        "min_s": min(times),
+        "all_s": [round(t, 4) for t in times],
+        "backend": jax.default_backend(),
+    }
+    if args.component == "import_walk":
+        rec["export_rows"] = rows
+        rec["export_overflow"] = ovf
+    print(json.dumps(rec))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

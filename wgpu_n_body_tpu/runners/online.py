@@ -35,7 +35,12 @@ import time
 import numpy as np
 
 from wgpu_n_body_tpu.runners.headless import OfflineHeadless
-from wgpu_n_body_tpu.runners.renderer import Camera, png_bytes, render_frame
+from wgpu_n_body_tpu.runners.renderer import (
+    Camera,
+    png_bytes,
+    render_frame,
+    render_frame_on_device,
+)
 
 #: browser key -> CameraController direction (online_renderer.rs:92-118)
 KEYMAP = {
@@ -77,6 +82,8 @@ class OnlineViewer:
         self.speed = speed
         self.frames = 0
         self.last_step_ms = float("nan")
+        self.last_frame_ms = float("nan")
+        self._t0 = time.perf_counter()
         self._lock = threading.Lock()
 
     def apply_input(self, keys: str) -> None:
@@ -92,12 +99,20 @@ class OnlineViewer:
         (bin/visualize.rs:65-71); the drawn state is pre-step, like the
         reference's trailing dest_particle_slice."""
         with self._lock:
+            tf = time.perf_counter()
             self.apply_input(keys)
-            pos = np.asarray(self.runner.state.pos)
-            img = render_frame(
-                pos, self.camera, self.width, self.height,
-                footprint=self.footprint,
+            # positions stay on device; only the coverage image crosses
+            # the tunnel. None = a footprint exceeded the device window
+            # (near-znear particle) -> the exact host path for this frame.
+            img = render_frame_on_device(
+                self.runner.state.pos, self.camera, self.width,
+                self.height, footprint=self.footprint,
             )
+            if img is None:
+                img = render_frame(
+                    np.asarray(self.runner.state.pos), self.camera,
+                    self.width, self.height, footprint=self.footprint,
+                )
             if focused:
                 t0 = time.perf_counter()
                 for _ in range(self.steps_per_frame):
@@ -106,15 +121,22 @@ class OnlineViewer:
                     (time.perf_counter() - t0) * 1e3 / self.steps_per_frame
                 )
             self.frames += 1
-            return png_bytes(img)
+            png = png_bytes(img)
+            self.last_frame_ms = (time.perf_counter() - tf) * 1e3
+            return png
 
     def stats(self) -> dict:
+        elapsed = time.perf_counter() - self._t0
         return {
             "frames": self.frames,
             "steps": self.runner.step_num,
             "last_step_ms": None
             if self.last_step_ms != self.last_step_ms
             else round(self.last_step_ms, 3),
+            "last_frame_ms": None
+            if self.last_frame_ms != self.last_frame_ms
+            else round(self.last_frame_ms, 3),
+            "fps": round(self.frames / elapsed, 2) if elapsed > 0 else None,
             "n": int(self.runner.state.pos.shape[0]),
             "eye": [round(float(v), 4) for v in self.camera.eye],
         }
@@ -151,7 +173,8 @@ _PAGE = """<!doctype html>
      if (old) URL.revokeObjectURL(old);
      const s = await (await fetch('/stats')).json();
      document.getElementById('hud').textContent =
-       `step ${s.steps}  ${s.last_step_ms ?? '-'} ms/step  N=${s.n}` +
+       `step ${s.steps}  ${s.last_step_ms ?? '-'} ms/step  ` +
+       `${s.fps ?? '-'} fps  N=${s.n}` +
        `\\nWASD/arrows move - QE up/down - Esc quits - blur pauses`;
    }
  }
