@@ -408,3 +408,24 @@ def test_let_checkpoint_resume_bit_equivalence(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(r1.state.vel), np.asarray(r2.state.vel)
     )
+
+
+def test_auto_let_cap_sizing():
+    """let_cap=None resolves from measured export need (PERF.md "Measured
+    LET component pricing"): ~2.53 * n_local^(2/3) rows for a
+    face-adjacent neighbor at theta=0.75, 1.5x slack, floor 8192."""
+    from wgpu_n_body_tpu.parallel.let_tree import auto_let_cap
+
+    # tiny local slices keep the floor
+    assert auto_let_cap(4096, 0.75) == 8192
+    # the measured point: n_local=4M theta=0.75 needs ~63.7k rows; the
+    # auto size must cover it with slack and stay memory-sane
+    cap_4m = auto_let_cap(4_000_000, 0.75)
+    assert 63_844 < cap_4m < 160_000
+    assert cap_4m % 4096 == 0
+    # tighter theta keeps more boundary detail -> bigger buffers
+    assert auto_let_cap(4_000_000, 0.5) > cap_4m
+    # ShardedTreeSim default resolves eagerly (checkpoints store the int)
+    params = SimParams(particle_num=4096)
+    sim = ShardedTreeSim(params, make_mesh(), TreeParams(), schedule="let")
+    assert sim.let_cap == 8192

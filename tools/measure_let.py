@@ -48,6 +48,23 @@ def main() -> int:
     )
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--tag", type=str, default="")
+    ap.add_argument(
+        "--geometry", choices=["overlap", "octants"], default="overlap",
+        help="destination-bbox geometry. 'overlap' (r2's probe): Morton "
+        "slices of the LOCAL set — destinations INSIDE the source "
+        "domain, the worst case (nothing near them prunes). 'octants': "
+        "the realistic P=8 layout — local particles scaled into octant "
+        "[-1,0]^3 of the global cube, destinations = the 7 other "
+        "octants; exports prune by real inter-domain distance. Use "
+        "octants to size let_cap, overlap to bound the import walk.",
+    )
+    ap.add_argument(
+        "--import-list-cap", type=int, default=None,
+        help="override TreeParams.let_import_list_cap for the "
+        "import_walk component (default: the auto resolution, i.e. "
+        "exactly what sharded_tree's split walk uses); pass the full "
+        "walk_list_cap (8192) to reproduce the r2 full-budget number",
+    )
     args = ap.parse_args()
 
     cache = os.path.expanduser("~/.cache/wgpu_n_body_tpu/xla")
@@ -77,6 +94,9 @@ def main() -> int:
     sp = SimParams(particle_num=n, g=1e-6, dt=0.016)
     tp = TreeParams(theta=args.theta)
     state = init_fn(jax.random.key(0), sp)
+    if args.geometry == "octants":
+        # this chip owns octant 0 of the global [-1,1]^3 cube
+        state = state._replace(pos=state.pos * 0.5 - 0.5)
 
     # prologue products every component needs (computed once, unjitted
     # timing-wise irrelevant here; the timed fn is jitted below)
@@ -85,15 +105,27 @@ def main() -> int:
     build_j = jax.jit(lambda s, k, b: build_tree(s, k, b, tp))
     tree = build_j(ss, keys, bound)
 
-    # synthetic destination bboxes: P contiguous Morton slices of the
-    # local sorted set (what compact neighbor ownership looks like)
-    nl = n // p
-    blo = jnp.stack(
-        [ss.pos[i * nl : (i + 1) * nl].min(axis=0) for i in range(p)]
-    )
-    bhi = jnp.stack(
-        [ss.pos[i * nl : (i + 1) * nl].max(axis=0) for i in range(p)]
-    )
+    if args.geometry == "octants":
+        # destination d = octant d of the global cube (self = octant 0);
+        # disjoint domains, real inter-chip pruning distances
+        lo = jnp.array(
+            [
+                [-1.0 + (d & 1), -1.0 + ((d >> 1) & 1), -1.0 + ((d >> 2) & 1)]
+                for d in range(p)
+            ],
+            jnp.float32,
+        )
+        blo, bhi = lo, lo + 1.0
+    else:
+        # synthetic destination bboxes: P contiguous Morton slices of the
+        # local sorted set (what compact neighbor ownership looks like)
+        nl = n // p
+        blo = jnp.stack(
+            [ss.pos[i * nl : (i + 1) * nl].min(axis=0) for i in range(p)]
+        )
+        bhi = jnp.stack(
+            [ss.pos[i * nl : (i + 1) * nl].max(axis=0) for i in range(p)]
+        )
 
     if args.component == "sort":
         fn = lambda: sort_j(state)[0].pos
@@ -105,30 +137,59 @@ def main() -> int:
                 t, pos, mass, blo, bhi, jnp.int32(0), tp.theta, args.let_cap
             )
         )
+        _e = exp_j(tree, ss.pos, ss.mass)
+        rows = [int(x) for x in _e.n_rows]
+        ovf = [bool(x) for x in _e.overflow]
         fn = lambda: exp_j(tree, ss.pos, ss.mass).nodes
     elif args.component == "import_walk":
+        import dataclasses
+
         exp = export_walk(
             tree, ss.pos, ss.mass, blo, bhi, jnp.int32(0), tp.theta,
             args.let_cap,
         )
+        if args.geometry == "octants":
+            # By symmetry of the uniform scene, the buffer chip d SENDS us
+            # is statistically the buffer WE export to chip d, translated
+            # from our octant into theirs — so translating our own exports
+            # by the octant offsets yields a realistic import forest
+            # (rows far from the receivers, pruned by true inter-domain
+            # distance) without 8 real chips. Zero-mass tail rows
+            # contribute nothing wherever they land.
+            delta = blo - blo[0:1]  # (P, 3) octant offsets
+            exp = exp._replace(
+                nodes=exp.nodes.at[:, :, :3].add(delta[:, None, :]),
+                parts=exp.parts.at[:, :, :3].add(delta[:, None, :]),
+            )
         rows = [int(x) for x in exp.n_rows]
         ovf = [bool(x) for x in exp.overflow]
+        # the same reduced budget sharded_tree's split walk applies
+        tp_imp = dataclasses.replace(
+            tp,
+            walk_list_cap=(
+                args.import_list_cap
+                if args.import_list_cap is not None
+                else tp.effective_import_list_cap()
+            ),
+        )
 
         def imp_walk(pos_new, parts, imp_local):
             forest = assemble_import_forest(imp_local)
-            return group_tree_forces(
+            acc, stats = group_tree_forces(
                 pos_new,
                 parts[:, :, :3].reshape(-1, 3),
                 parts[:, :, 3].reshape(-1),
                 forest,
                 keys,
                 sp,
-                tp,
+                tp_imp,
                 gid_offset=p * args.let_cap,
-            )[0]
+            )
+            return acc, stats.deferred
 
         imp_j = jax.jit(imp_walk)
-        fn = lambda: imp_j(ss.pos, exp.parts, exp)
+        fn = lambda: imp_j(ss.pos, exp.parts, exp)[0]
+        deferred = int(imp_j(ss.pos, exp.parts, exp)[1])
     else:  # local_walk
         walk_j = jax.jit(
             lambda pos_new, pos, mass, t: group_tree_forces(
@@ -158,9 +219,13 @@ def main() -> int:
         "all_s": [round(t, 4) for t in times],
         "backend": jax.default_backend(),
     }
-    if args.component == "import_walk":
+    rec["geometry"] = args.geometry
+    if args.component in ("export", "import_walk"):
         rec["export_rows"] = rows
         rec["export_overflow"] = ovf
+    if args.component == "import_walk":
+        rec["import_list_cap"] = tp_imp.walk_list_cap
+        rec["walk_deferred"] = deferred
     print(json.dumps(rec))
     return 0
 

@@ -41,6 +41,26 @@ from wgpu_n_body_tpu.ops.tree_build import NO_CHILD, WIDTH, TreeArrays
 _SENTINEL, _INTERNAL, _TERMINAL, _MEMBER = 0, 1, 2, 3
 
 
+def auto_let_cap(n_local: int, theta: float) -> int:
+    """Export-buffer rows per destination, sized from measured need.
+
+    A face-adjacent neighbor's export is boundary-surface detail:
+    measured on v5e (tools/measure_let.py --geometry octants, uniform
+    scene, n_local=4M, theta=0.75) the largest destination needs ~63.7k
+    rows ~= 2.53 * n_local^(2/3); edge/corner neighbors need 57-1256.
+    Opening-angle scaling: boundary cells are kept while
+    width >= theta * dist, so the kept-detail depth along the shared
+    face scales the row count ~ (1/theta)^2. 1.5x slack on the measured
+    constant; floor 8192 (tiny-N tests and deep-drift safety); rounded
+    to 4096 so forest tables keep friendly shapes. Overflow beyond the
+    auto size is LOUD (ShardedTreeSim.check_overflow raises) and
+    bounded by reshard() — this sizes the common case, not the
+    adversarial one.
+    """
+    rows = 1.5 * 2.53 * (0.75 / theta) ** 2 * float(n_local) ** (2.0 / 3.0)
+    return max(8192, -(-int(rows) // 4096) * 4096)
+
+
 class LetExport(NamedTuple):
     """Per-destination pruned-subtree buffers (leading axis = P chips).
 

@@ -37,6 +37,8 @@ boundaries, so results differ from single-chip within theta error.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -53,6 +55,7 @@ from wgpu_n_body_tpu.parallel.let_tree import (
     LetExport,
     assemble_forest,
     assemble_import_forest,
+    auto_let_cap,
     export_walk,
 )
 from wgpu_n_body_tpu.parallel.mesh import PARTICLE_AXIS, state_sharding
@@ -128,6 +131,15 @@ def _schedule_fns(params: SimParams, p_size: int, tp: TreeParams, let_cap: int):
                 pos_new, pos_s, mass_s, tree_l, keys, params, tp
             )
             imp_forest = assemble_import_forest(imp)
+            # Reduced budget for the tiny import forest: the group walk's
+            # fixed costs (list arrays, compaction sorts, iteration cap)
+            # are walk_list_cap-sized, and the full budget measured 0.77 s
+            # at n_local=4M on v5e (PERF.md). Budget-exhausted tiles defer
+            # to the exact per-particle fallback, so this trades time for
+            # deferral pressure, never correctness.
+            tp_imp = dataclasses.replace(
+                tp, walk_list_cap=tp.effective_import_list_cap()
+            )
             acc_imp, s2 = group_tree_forces(
                 pos_new,
                 imp.parts[:, :, :3].reshape(-1, 3),
@@ -135,7 +147,7 @@ def _schedule_fns(params: SimParams, p_size: int, tp: TreeParams, let_cap: int):
                 imp_forest,
                 keys,
                 params,
-                tp,
+                tp_imp,
                 gid_offset=p_size * let_cap,
             )
             acc_new = acc_loc + acc_imp
@@ -228,15 +240,25 @@ def _schedule_fns(params: SimParams, p_size: int, tp: TreeParams, let_cap: int):
     return let_prologue, let_forces, rep_prologue, rep_forces
 
 
+def _resolve_let_cap(
+    let_cap: int | None, params: SimParams, mesh: Mesh, tp: TreeParams
+) -> int:
+    if let_cap is not None:
+        return let_cap
+    n_local = params.particle_num // mesh.shape[PARTICLE_AXIS]
+    return auto_let_cap(n_local, tp.theta)
+
+
 def make_sharded_tree_step(
     params: SimParams,
     mesh: Mesh,
     tp: TreeParams | None = None,
     donate: bool = True,
     schedule: str = "replicated",
-    let_cap: int = 8192,
+    let_cap: int | None = None,
 ) -> StepFn:
     tp = tp or TreeParams()
+    let_cap = _resolve_let_cap(let_cap, params, mesh, tp)
     p_size = mesh.shape[PARTICLE_AXIS]
     spec = P(PARTICLE_AXIS)
     if schedule not in ("replicated", "let"):
@@ -287,7 +309,7 @@ def make_sharded_tree_health(
     mesh: Mesh,
     tp: TreeParams | None = None,
     schedule: str = "replicated",
-    let_cap: int = 8192,
+    let_cap: int | None = None,
     with_walk: bool = False,
 ):
     """Compiled multi-chip health probe: state -> int32[4] replicated
@@ -304,6 +326,7 @@ def make_sharded_tree_health(
     cheap enough for the runner's ``overflow_check_every`` cadence.
     """
     tp = tp or TreeParams()
+    let_cap = _resolve_let_cap(let_cap, params, mesh, tp)
     spec = P(PARTICLE_AXIS)
     p_size = mesh.shape[PARTICLE_AXIS]
     if schedule not in ("replicated", "let"):
@@ -378,13 +401,17 @@ class ShardedTreeSim(Simulator):
         mesh: Mesh,
         add_params: TreeParams | None = None,
         schedule: str = "replicated",
-        let_cap: int = 8192,
+        let_cap: int | None = None,
     ):
         super().__init__(sim_params)
         self.mesh = mesh
         self.add_params = add_params or TreeParams()
         self.schedule = schedule
-        self.let_cap = let_cap
+        # None -> measured-need auto sizing (let_tree.auto_let_cap);
+        # resolved eagerly so checkpoints and step/health caches agree
+        self.let_cap = _resolve_let_cap(
+            let_cap, sim_params, mesh, self.add_params
+        )
 
     def step_fn(self) -> StepFn:
         raise NotImplementedError("use make_step (shard_map requires jit)")

@@ -137,6 +137,9 @@ class TreeParams:
         stackless skip-pointer walk (one node visit per lockstep step).
         "octet" = child-block walk (one *opened* node per step, 8 child
         tests per gather; needs the octet tables the build then emits).
+      let_import_list_cap: walk_list_cap override for the LET import-
+        forest walk only (see effective_import_list_cap). None = auto
+        (2048, capped by walk_list_cap).
       octet_capacity_factor: octet-table rows = factor * N (clamped to
         [4096, node capacity]). Only internal (openable) nodes need a
         row; measured internal counts at leaf_bucket 16 are 0.018-0.039N
@@ -161,6 +164,24 @@ class TreeParams:
     walk_straggler_slots: int = 8
     walk_engine: str = "octet"
     octet_capacity_factor: float | None = None
+    let_import_list_cap: int | None = None
+
+    def effective_import_list_cap(self) -> int:
+        """walk_list_cap for the LET schedule's import-forest walk (the
+        split walk's second half, parallel/sharded_tree.py). The import
+        forest is tiny (P*let_cap already-pruned rows vs the local tree's
+        N-particle arena), yet the group walk's fixed budgets — the
+        (rows, lanes) list arrays, their compaction sorts, the iteration
+        cap — are all sized by walk_list_cap; measured on v5e at
+        n_local=4M the full-budget import walk cost 0.77 s, ~10x its
+        share of the work (PERF.md "Measured LET component pricing").
+        Tiles that exhaust the reduced budget defer to the exact
+        per-particle fallback (physics unaffected; watch
+        diagnose()['walk_deferred'] for the cliff). None -> 2048, capped
+        by walk_list_cap."""
+        if self.let_import_list_cap is not None:
+            return self.let_import_list_cap
+        return min(self.walk_list_cap, 2048)
 
     def effective_walk_tile(self, n: int) -> int:
         """walk_tile with the receiver-count-aware default resolved

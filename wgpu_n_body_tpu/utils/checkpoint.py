@@ -67,7 +67,8 @@ class Checkpoint(NamedTuple):
                 return ShardedTreeSim(
                     self.params, mesh, ap,
                     schedule=self.schedule["name"],
-                    let_cap=self.schedule.get("let_cap", 8192),
+                    # missing in pre-auto checkpoints -> None = auto sizing
+                    let_cap=self.schedule.get("let_cap"),
                 )
             return ShardedNaiveSim(self.params, mesh, ap)
         if isinstance(ap, NaiveParams):
