@@ -132,6 +132,16 @@ _DEBUG_SKIP_COMPACT = False
 # (standalone microbenches contradict in-step sweeps; CLAUDE.md).
 _DEBUG_EXTRA_GATHER = False
 
+# Internal instrumentation: when True, each octet-walk step's row gather
+# fetches 2*TA rows in ONE launch (the real pointers plus a second,
+# equally data-dependent index vector) and folds the extra half into the
+# chain at 1e-30 scale. Prices the marginal cost of DOUBLED gather rows
+# per launch — the gating question for a 2-items-per-step engine (pop two
+# independent stack items per lane per step: halves lockstep steps IFF a
+# 2x-row launch costs like a 1x one). Compare against baseline and
+# _DEBUG_EXTRA_GATHER (the serialized-second-launch alternative).
+_DEBUG_DOUBLE_GATHER = False
+
 # Internal instrumentation: when True, the straggler pass (phase-A pass 2
 # + its eval) is skipped entirely AND straggler tiles' bad flags are
 # cleared (their forces are simply wrong/partial) so profiling scripts
@@ -592,7 +602,20 @@ def group_tree_forces(
                 is_mem = kind == 2
                 act = kind > 0
                 ptr = jnp.clip(jnp.where(is_open, ia, 0), 0, cap_oct - 1)
-                raw = jnp.take(octets, ptr, axis=0)  # (TA, 17) int32
+                if _DEBUG_DOUBLE_GATHER:
+                    # one launch, 2x rows; the second half's indices ride
+                    # the same dependency chain (derived from ptr) so the
+                    # launch cannot start earlier than the real one would
+                    ptr2 = jnp.clip(ptr * 2 + 1, 0, cap_oct - 1)
+                    raw2 = jnp.take(
+                        octets, jnp.concatenate([ptr, ptr2]), axis=0
+                    )  # (2*TA, 17) int32
+                    raw = raw2[:width]
+                    ix = ix + jnp.float32(1e-30) * (
+                        raw2[width:, 0].astype(jnp.float32)
+                    )
+                else:
+                    raw = jnp.take(octets, ptr, axis=0)  # (TA, 17) int32
                 if _DEBUG_EXTRA_GATHER:
                     # second dependent hop at the fetched first-child
                     # pointer; 1e-30*value folded into the traversal
