@@ -429,3 +429,34 @@ def test_auto_let_cap_sizing():
     params = SimParams(particle_num=4096)
     sim = ShardedTreeSim(params, make_mesh(), TreeParams(), schedule="let")
     assert sim.let_cap == 8192
+
+
+def test_import_budget_escalates_on_deferral():
+    """VERDICT r3 weak #2: the reduced LET import budget has a silent
+    mass-deferral cliff (measured 6x step time on saturated geometry).
+    A diagnose() snapshot showing deferral must escalate the budget to
+    the full walk_list_cap — driven here through the runner's
+    diag_log_every hook — after which the walk defers nothing."""
+    from wgpu_n_body_tpu.runners.headless import OfflineHeadless
+
+    params = SimParams(particle_num=2048, g=1e-4)
+    # theta=0.2 over a cramped 256-row import list cap: every tile
+    # exhausts its budget and defers (verified: walk_deferred == 2048)
+    tp = TreeParams(theta=0.2, max_depth=8, walk_tile=64,
+                    walk_list_cap=4096, let_import_list_cap=256)
+    mesh = make_mesh()
+    sim = ShardedTreeSim(params, mesh, tp, schedule="let", let_cap=8192)
+    runner = OfflineHeadless(sim, uniform_init, key=3, donate=False)
+    logs = []
+    runner.run(steps=2, diag_log_every=2, log_fn=logs.append)
+    assert any("escalating LET import list budget" in s for s in logs)
+    assert sim.add_params.effective_import_list_cap() == 4096
+    # escalated budget clears the deferral entirely
+    assert sim.diagnose(runner.state)["walk_deferred"] == 0
+    # runner keeps stepping on the recompiled budget
+    runner.run(steps=1)
+    assert np.isfinite(np.asarray(runner.state.pos)).all()
+    # a second diagnose does not re-escalate (idempotent at full budget)
+    assert sim.maybe_escalate_import_budget(
+        {"walk_deferred": 9999}
+    ) is False

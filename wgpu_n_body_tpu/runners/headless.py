@@ -131,6 +131,16 @@ class OfflineHeadless:
             self.step_num += k
             first_batch = done == 0
             done += k
+            # reshard BEFORE the overflow check (ADVICE r3): a drift-grown
+            # LET export overflow at the same batch boundary is exactly
+            # what the configured reshard exists to bound — re-slicing
+            # first keeps the check from aborting a healthy run.
+            if (
+                reshard_every
+                and hasattr(self.sim, "reshard")
+                and self.step_num % reshard_every < k
+            ):
+                self.state = self.sim.reshard(self.state)
             if hasattr(self.sim, "check_overflow") and (
                 first_batch
                 or (
@@ -140,17 +150,27 @@ class OfflineHeadless:
             ):
                 self.sim.check_overflow(self.state)
             if (
-                reshard_every
-                and hasattr(self.sim, "reshard")
-                and self.step_num % reshard_every < k
-            ):
-                self.state = self.sim.reshard(self.state)
-            if (
                 diag_log_every
                 and hasattr(self.sim, "diagnose")
                 and self.step_num % diag_log_every < k
             ):
-                log_fn(f"step {self.step_num}: {self.sim.diagnose(self.state)}")
+                diag = self.sim.diagnose(self.state)
+                log_fn(f"step {self.step_num}: {diag}")
+                if hasattr(
+                    self.sim, "maybe_escalate_import_budget"
+                ) and self.sim.maybe_escalate_import_budget(diag):
+                    # deferral cliff detected: the sim widened its import
+                    # walk budget — drop the cached compilations so the
+                    # next batch runs at the escalated budget
+                    log_fn(
+                        f"step {self.step_num}: walk deferral detected — "
+                        "escalating LET import list budget to "
+                        f"{self.sim.add_params.effective_import_list_cap()}"
+                        " (one recompile)"
+                    )
+                    self._step = self.sim.make_step(donate=self._donate)
+                    self._chunk_steps.clear()
+                    step_fn = self._get_chunk(chunk) if chunk > 1 else None
             if log_every and (done % log_every < k):
                 us = self.timer.times_s[-1] / k * 1e6
                 log_fn(f"step {self.step_num}: {us:.1f} us/step")

@@ -70,7 +70,11 @@ class Checkpoint(NamedTuple):
                     # missing in pre-auto checkpoints -> None = auto sizing
                     let_cap=self.schedule.get("let_cap"),
                 )
-            return ShardedNaiveSim(self.params, mesh, ap)
+            # resume with the recorded communication schedule (physics
+            # is schedule-independent; bandwidth behavior is not)
+            return ShardedNaiveSim(
+                self.params, mesh, ap, schedule=self.schedule["name"]
+            )
         if isinstance(ap, NaiveParams):
             return NaiveSim(self.params, ap)
         return TreeSim(self.params, ap)
