@@ -82,6 +82,22 @@ def test_orbit_keeps_radius():
     assert abs(np.linalg.norm(np.asarray(v.camera.eye)) - r0) < 1e-6
 
 
+def test_warmup_compiles_all_tiers():
+    # warmup() must compile the step plus every raster tier so a
+    # flythrough never jits mid-run (a measured ~20 s frame spike), and
+    # leave the viewer fully functional.
+    v = _viewer()
+    v.warmup()
+    assert v.runner.step_num == 1  # warmup runs exactly one real step
+    from wgpu_n_body_tpu.runners import renderer as R
+
+    assert R._medium_raster_fn.cache_info().currsize >= 1
+    assert R._big_raster_fn.cache_info().currsize >= 1
+    frame = v.tick(keys="w")
+    assert frame[:8] == b"\x89PNG\r\n\x1a\n"
+    assert v.runner.step_num == 2
+
+
 def test_http_round_trip():
     from wgpu_n_body_tpu.runners.online import make_server
 

@@ -59,6 +59,19 @@ def main() -> int:
         "octants to size let_cap, overlap to bound the import walk.",
     )
     ap.add_argument(
+        "--export-stage", choices=["walk", "payload", "full"],
+        default="full",
+        help="for --component export: truncate the export at this stage "
+        "(walk = DFS loop only, payload = everything but the pruned-skip "
+        "searchsorted) to attribute the cap-sized emission cost",
+    )
+    ap.add_argument(
+        "--prune-via-sort", type=int, choices=[0, 1], default=None,
+        help="for --component export: override let_tree._PRUNE_VIA_SORT "
+        "(1 = rank-join sorts, 0 = vmapped searchsorted) to A/B the "
+        "pruned-skip ranking implementation",
+    )
+    ap.add_argument(
         "--import-list-cap", type=int, default=None,
         help="override TreeParams.let_import_list_cap for the "
         "import_walk component (default: the auto resolution, i.e. "
@@ -132,15 +145,20 @@ def main() -> int:
     elif args.component == "build":
         fn = lambda: build_j(ss, keys, bound).nodes_f32
     elif args.component == "export":
+        if args.prune_via_sort is not None:
+            import wgpu_n_body_tpu.parallel.let_tree as _lt
+
+            _lt._PRUNE_VIA_SORT = bool(args.prune_via_sort)
         exp_j = jax.jit(
             lambda t, pos, mass: export_walk(
-                t, pos, mass, blo, bhi, jnp.int32(0), tp.theta, args.let_cap
+                t, pos, mass, blo, bhi, jnp.int32(0), tp.theta,
+                args.let_cap, stage=args.export_stage,
             )
         )
         _e = exp_j(tree, ss.pos, ss.mass)
         rows = [int(x) for x in _e.n_rows]
         ovf = [bool(x) for x in _e.overflow]
-        fn = lambda: exp_j(tree, ss.pos, ss.mass).nodes
+        fn = lambda: exp_j(tree, ss.pos, ss.mass)
     elif args.component == "import_walk":
         import dataclasses
 
@@ -223,6 +241,10 @@ def main() -> int:
     if args.component in ("export", "import_walk"):
         rec["export_rows"] = rows
         rec["export_overflow"] = ovf
+    if args.component == "export":
+        rec["export_stage"] = args.export_stage
+        if args.prune_via_sort is not None:
+            rec["prune_via_sort"] = bool(args.prune_via_sort)
     if args.component == "import_walk":
         rec["import_list_cap"] = tp_imp.walk_list_cap
         rec["walk_deferred"] = deferred

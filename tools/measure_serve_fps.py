@@ -30,6 +30,21 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=400)
     ap.add_argument("--height", type=int, default=400)
     ap.add_argument("--tag", type=str, default="")
+    ap.add_argument(
+        "--keys", type=str, default="w",
+        help="held keys per tick ('' = static camera; 'w' flies toward "
+        "the scene and stresses the medium-footprint raster tier)",
+    )
+    ap.add_argument(
+        "--window", type=int, default=8,
+        help="tier-1 device raster window (px); spans past window-1 "
+        "escalate to tier 2",
+    )
+    ap.add_argument(
+        "--no-warmup", action="store_true",
+        help="skip viewer.warmup() (A/B the in-process cost of eagerly "
+        "compiling tiers 2/3 before measurement)",
+    )
     args = ap.parse_args()
 
     cache = os.path.expanduser("~/.cache/wgpu_n_body_tpu/xla")
@@ -60,18 +75,29 @@ def main() -> int:
         sim = NaiveSim(sp)
 
     viewer = OnlineViewer(
-        sim, init_fn, width=args.width, height=args.height
+        sim, init_fn, width=args.width, height=args.height,
+        window=args.window,
     )
-    for _ in range(args.warmup):  # compile step + rasterizer
-        viewer.tick(keys="w", focused=True)
+    if not args.no_warmup:
+        viewer.warmup()  # compile the step + ALL raster tiers up front
+    for _ in range(args.warmup):
+        viewer.tick(keys=args.keys, focused=True)
     t0 = time.perf_counter()
     png_len = 0
+    frame_ms = []
     for _ in range(args.frames):
-        png_len = len(viewer.tick(keys="w", focused=True))
+        tf = time.perf_counter()
+        png_len = len(viewer.tick(keys=args.keys, focused=True))
+        frame_ms.append((time.perf_counter() - tf) * 1e3)
     dt = time.perf_counter() - t0
     stats = viewer.stats()
     rec = {
         "tag": args.tag,
+        "keys": args.keys,
+        "window": args.window,
+        "warmed": not args.no_warmup,
+        "frame_ms_p50": round(sorted(frame_ms)[len(frame_ms) // 2], 1),
+        "frame_ms_max": round(max(frame_ms), 1),
         "sim": args.sim,
         "n": args.n,
         "init": args.init,

@@ -142,6 +142,17 @@ _DEBUG_EXTRA_GATHER = False
 # _DEBUG_EXTRA_GATHER (the serialized-second-launch alternative).
 _DEBUG_DOUBLE_GATHER = False
 
+# Internal instrumentation: when True, phase A's per-step emission writes
+# go through a TRUE per-element scatter (data-dependent 2-D indices) at
+# the SAME positions the dynamic_update_slice would use — forces stay
+# bit-exact; only the write PATTERN changes. Prices the write side of a
+# padding-free compact-emission engine (per-lane row cursor => lane-
+# indexed scatter into the carried lists array; VERDICT r3 next #3): the
+# step-time delta vs baseline is the scatter tax that a compact emitter
+# would pay every step, to weigh against the ~214 ms compaction sort +
+# the ~1.8x padded row budget it would remove (N=2M theta=0.5 numbers).
+_DEBUG_CURSOR_EMIT = False
+
 # Internal instrumentation: when True, the straggler pass (phase-A pass 2
 # + its eval) is skipped entirely AND straggler tiles' bad flags are
 # cleared (their forces are simply wrong/partial) so profiling scripts
@@ -1019,11 +1030,30 @@ def group_tree_forces(
                 kind = jnp.where(overflow, 0, kind)
                 bad = bad | overflow
                 nrows = nrows + jnp.where(act, k_slots, 0)
-            lists = lax.dynamic_update_slice(
-                lists,
-                jnp.stack(step_rows, axis=0),
-                (k_slots + it * unroll * k_slots, jnp.int32(0)),
-            )
+            if _DEBUG_CURSOR_EMIT:
+                # same destinations, but through a genuine scatter whose
+                # row indices XLA cannot prove affine: a float-derived
+                # zero (iw*0.0 survives simplification — inf/nan
+                # semantics) keeps the per-lane offset data-dependent,
+                # exactly like a real compact-emission cursor would be
+                rows_blk = jnp.stack(step_rows, axis=0)
+                zero_l = (iw * 0.0).astype(jnp.int32)  # (TA,) opaque 0
+                ridx = (
+                    k_slots
+                    + it * unroll * k_slots
+                    + jnp.arange(unroll * k_slots, dtype=jnp.int32)[:, None]
+                    + zero_l[None, :]
+                )
+                lidx = jnp.broadcast_to(
+                    jnp.arange(width, dtype=jnp.int32)[None, :], ridx.shape
+                )
+                lists = lists.at[ridx, lidx].set(rows_blk, mode="drop")
+            else:
+                lists = lax.dynamic_update_slice(
+                    lists,
+                    jnp.stack(step_rows, axis=0),
+                    (k_slots + it * unroll * k_slots, jnp.int32(0)),
+                )
             return (it + 1, kind, ia, ib, ic, im, iw, ix, iy, iz, sp,
                     sk, sa, sb, sc, sm, sw, sx, sy, sz, lists, nrows, bad)
 

@@ -40,6 +40,41 @@ from wgpu_n_body_tpu.ops.tree_build import NO_CHILD, WIDTH, TreeArrays
 # emission kinds
 _SENTINEL, _INTERNAL, _TERMINAL, _MEMBER = 0, 1, 2, 3
 
+# Pruned-skip ranking implementation. True: two per-lane lax.sorts + a
+# cumsum (rank join — dense, sort-rate-bound). False: the vmapped
+# jnp.searchsorted (log2(R) rounds of chained row gathers over (P, R) —
+# the documented slow gather path). Flag kept for A/B measurement
+# (tools/measure_let.py --component export).
+_PRUNE_VIA_SORT = True
+
+
+def _rank_join(keys: jax.Array, queries: jax.Array) -> jax.Array:
+    """Per-lane searchsorted(keys[l], queries[l], side="left") without
+    binary-search gathers: tag keys 1 / queries 0, sort by (value, tag)
+    so a query precedes equal keys (= side "left"), read each query's
+    rank as the exclusive prefix count of key-tags, then sort back by
+    (tag, query-index). Two (P, 2R) 3-column sorts + one cumsum — the
+    sort rate is the fast path on TPU (measured 38 ms for 33M i32,
+    PERF.md) where chained bulk gathers are the slow one. Requires
+    nothing of the inputs' order (keys need not be pre-sorted)."""
+    p, r = queries.shape
+    qq = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None, :], (p, r))
+    val = jnp.concatenate([keys, queries], axis=1)
+    tag = jnp.concatenate(
+        [jnp.ones((p, keys.shape[1]), jnp.int32),
+         jnp.zeros((p, r), jnp.int32)],
+        axis=1,
+    )
+    pay = jnp.concatenate([qq[:, : keys.shape[1]], qq], axis=1)
+    val_s, tag_s, pay_s = lax.sort(
+        (val, tag, pay), num_keys=2, is_stable=False
+    )
+    prefix = jnp.cumsum(tag_s, axis=1) - tag_s  # keys strictly before
+    _, _, rank_q = lax.sort(
+        (tag_s, pay_s, prefix), num_keys=2, is_stable=False
+    )
+    return rank_q[:, :r]
+
 
 def auto_let_cap(n_local: int, theta: float) -> int:
     """Export-buffer rows per destination, sized from measured need.
@@ -89,12 +124,21 @@ def export_walk(
     self_index: jax.Array,
     theta: float,
     r_cap: int,
+    stage: str = "full",
 ) -> LetExport:
     """Emit one pruned subtree per destination bbox (P lockstep lanes).
 
     bbox_lo/hi: (P, 3) post-drift receiver bounds per chip. The lane for
     ``self_index`` starts done (a chip walks its own tree in full and
     receives only an inert sentinel buffer from itself).
+
+    ``stage`` is measurement-only plumbing (tools/measure_let.py): the
+    emission stages after the DFS loop are cap-sized (the static-arena
+    cost law — 0.075 s at 16k rows -> 0.357 at 128k on v5e, PERF.md) and
+    this truncates the computation so each stage prices separately.
+    "walk" returns after the DFS loop (payload columns zeroed; XLA
+    removes the dead assembly), "payload" skips only the pruned-skip
+    searchsorted (skips are wrong), "full" is the real export.
     """
     p = bbox_lo.shape[0]
     n_src = src_pos.shape[0]
@@ -197,6 +241,13 @@ def export_walk(
     is_internal = kinds == _INTERNAL
     is_node = (kinds == _TERMINAL) | is_internal
     n_rows = jnp.sum((kinds != _SENTINEL).astype(jnp.int32), axis=1)
+    if stage == "walk":  # measurement-only: DFS loop + row counts alone
+        zf = jnp.zeros((p, r_cap, 8), jnp.float32)
+        zi = keys  # keep the loop outputs live
+        return LetExport(
+            nodes=zf, skip=zi, first=zi, count=kinds,
+            parts=zf[:, :, :4], n_rows=n_rows, overflow=overflow,
+        )
 
     src4 = jnp.concatenate(
         [
@@ -244,10 +295,18 @@ def export_walk(
     # number of emitted rows whose original DFS index precedes the
     # original skip; all other rows are terminal (next row), and sentinel
     # rows jump to the buffer end so one hop reaches the next tree.
-    orig_skip = jnp.take(tree.skip, keys)  # (P, R)
-    pruned = jax.vmap(
-        lambda k, s: jnp.searchsorted(k, s, side="left").astype(jnp.int32)
-    )(keys, orig_skip)
+    if stage == "payload":  # measurement-only: skip the pruned ranking
+        pruned = qq + jnp.zeros((p, 1), jnp.int32)
+    elif _PRUNE_VIA_SORT:
+        orig_skip = jnp.take(tree.skip, keys)  # (P, R)
+        pruned = _rank_join(keys, orig_skip)
+    else:
+        orig_skip = jnp.take(tree.skip, keys)  # (P, R)
+        pruned = jax.vmap(
+            lambda k, s: jnp.searchsorted(k, s, side="left").astype(
+                jnp.int32
+            )
+        )(keys, orig_skip)
     skip_out = jnp.where(
         is_internal,
         pruned,
