@@ -505,3 +505,97 @@ def test_rank_join_matches_searchsorted():
     skip = np.asarray(exp.skip)
     kinds_internal = np.asarray(exp.count) == 0  # terminals+internals+sent
     assert (skip >= 0).all() and (skip <= 2048).all()
+
+
+def test_wire_roundtrip_reconstructs_full_export():
+    """The ICI wire format (nodes + skip + n_rows + overflow) must
+    reconstruct first/count/parts BIT-EXACTLY for every row kind —
+    members, terminals, internals, sentinels — including a truncated
+    (overflowing) buffer."""
+    from wgpu_n_body_tpu.parallel.let_tree import (
+        import_from_wire,
+        wire_arrays,
+    )
+
+    n = 4096
+    params = SimParams(particle_num=n, g=1e-4)
+    tp = TreeParams(theta=0.5, max_depth=10, leaf_bucket=8)
+    st = uniform_init(jax.random.key(5), params)
+    ss, bound, keys_m = morton_sort(st, tp.max_depth)
+    tree = build_tree(ss, keys_m, bound, tp)
+    lo = np.asarray(ss.pos).min(0)
+    hi = np.asarray(ss.pos).max(0)
+    ext = hi - lo
+    shifts = [(1, 0, 0), (0, 1, 0), (1, 1, 1), (3, 0, 0)]
+    blo = jnp.asarray(
+        np.stack([lo] + [lo + np.array(s) * ext for s in shifts]),
+        jnp.float32,
+    )
+    bhi = jnp.asarray(
+        np.stack([hi] + [hi + np.array(s) * ext for s in shifts]),
+        jnp.float32,
+    )
+    for cap in (256, 8192):  # 256 overflows the near destinations
+        exp = export_walk(
+            tree, ss.pos, ss.mass, blo, bhi, jnp.int32(0), tp.theta, cap
+        )
+        rt = import_from_wire(*wire_arrays(exp))
+        for f in exp._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(exp, f)),
+                np.asarray(getattr(rt, f)),
+                err_msg=f"field {f} cap {cap}",
+            )
+
+
+def test_export_fanout_matches_single_lane_exactly():
+    """The fan-out export walk (root + 8 child-subtree lanes per
+    destination, re-sorted into DFS order) must reproduce the legacy
+    single-lane walk BIT-FOR-BIT on every output — including member
+    emission order, pruned skips, and truncation/overflow behavior when
+    a destination's rows exceed let_cap."""
+    import wgpu_n_body_tpu.parallel.let_tree as lt
+    from wgpu_n_body_tpu.ops.tree_build import morton_sort as _ms
+
+    n = 4096
+    params = SimParams(particle_num=n, g=1e-4)
+    tp = TreeParams(theta=0.5, max_depth=10, leaf_bucket=8)
+    st = uniform_init(jax.random.key(3), params)
+    ss, bound, keys_m = _ms(st, tp.max_depth)
+    tree = build_tree(ss, keys_m, bound, tp)
+    lo = np.asarray(ss.pos).min(0)
+    hi = np.asarray(ss.pos).max(0)
+    ext = hi - lo
+    shifts = [(1, 0, 0), (0, 1, 0), (1, 1, 0), (1, 1, 1), (2, 0, 0),
+              (0, 0, 1), (0, 2, 2)]
+    blo = jnp.asarray(
+        np.stack([lo] + [lo + np.array(s) * ext for s in shifts]),
+        jnp.float32,
+    )
+    bhi = jnp.asarray(
+        np.stack([hi] + [hi + np.array(s) * ext for s in shifts]),
+        jnp.float32,
+    )
+    old = lt._EXPORT_FANOUT
+    try:
+        # cap 256 forces truncation on the near destinations, so the
+        # overflow/DFS-prefix semantics are covered too
+        for cap in (256, 8192):
+            lt._EXPORT_FANOUT = 0
+            e0 = export_walk(
+                tree, ss.pos, ss.mass, blo, bhi, jnp.int32(0), tp.theta,
+                cap,
+            )
+            lt._EXPORT_FANOUT = 8
+            e1 = export_walk(
+                tree, ss.pos, ss.mass, blo, bhi, jnp.int32(0), tp.theta,
+                cap,
+            )
+            for f in e0._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(e0, f)),
+                    np.asarray(getattr(e1, f)),
+                    err_msg=f"field {f} cap {cap}",
+                )
+    finally:
+        lt._EXPORT_FANOUT = old

@@ -72,6 +72,12 @@ def main() -> int:
         "pruned-skip ranking implementation",
     )
     ap.add_argument(
+        "--export-fanout", type=int, default=None,
+        help="override let_tree._EXPORT_FANOUT (0 = legacy single lane "
+        "per destination, 8 = parallel child-subtree lanes) to A/B the "
+        "export walk's substep parallelism",
+    )
+    ap.add_argument(
         "--import-list-cap", type=int, default=None,
         help="override TreeParams.let_import_list_cap for the "
         "import_walk component (default: the auto resolution, i.e. "
@@ -145,10 +151,13 @@ def main() -> int:
     elif args.component == "build":
         fn = lambda: build_j(ss, keys, bound).nodes_f32
     elif args.component == "export":
-        if args.prune_via_sort is not None:
+        if args.prune_via_sort is not None or args.export_fanout is not None:
             import wgpu_n_body_tpu.parallel.let_tree as _lt
 
-            _lt._PRUNE_VIA_SORT = bool(args.prune_via_sort)
+            if args.prune_via_sort is not None:
+                _lt._PRUNE_VIA_SORT = bool(args.prune_via_sort)
+            if args.export_fanout is not None:
+                _lt._EXPORT_FANOUT = args.export_fanout
         exp_j = jax.jit(
             lambda t, pos, mass: export_walk(
                 t, pos, mass, blo, bhi, jnp.int32(0), tp.theta,
@@ -245,6 +254,8 @@ def main() -> int:
         rec["export_stage"] = args.export_stage
         if args.prune_via_sort is not None:
             rec["prune_via_sort"] = bool(args.prune_via_sort)
+        if args.export_fanout is not None:
+            rec["export_fanout"] = args.export_fanout
     if args.component == "import_walk":
         rec["import_list_cap"] = tp_imp.walk_list_cap
         rec["walk_deferred"] = deferred

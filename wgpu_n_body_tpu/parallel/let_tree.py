@@ -47,6 +47,18 @@ _SENTINEL, _INTERNAL, _TERMINAL, _MEMBER = 0, 1, 2, 3
 # (tools/measure_let.py --component export).
 _PRUNE_VIA_SORT = True
 
+# Export-walk parallel fan-out: lanes per destination beyond the root
+# lane (walk the root's 8 child subtrees as parallel lanes, re-sort the
+# emissions into DFS order). Measured a LOSS on the real chip (r4,
+# n_local=4M theta=0.75 octants, cap 98304): walk stage 0.170 s at
+# fanout=8 vs 0.134 s single-lane, full export 0.210 vs 0.199 s — the
+# while body's chained gather is ROW-throughput-bound (CLAUDE.md), so
+# 9x lanes per step outweighs the ~4x fewer lockstep steps, the same
+# law that killed the dual-wavefront walk. Default 0 (single lane);
+# the fan-out path is kept bit-exact (test_export_fanout_matches_
+# single_lane_exactly) for A/B via tools/measure_let.py --export-fanout.
+_EXPORT_FANOUT = 0
+
 
 def _rank_join(keys: jax.Array, queries: jax.Array) -> jax.Array:
     """Per-lane searchsorted(keys[l], queries[l], side="left") without
@@ -156,12 +168,87 @@ def export_walk(
         axis=1,
     )
 
-    lanes = jnp.arange(p, dtype=jnp.int32)
-    cur0 = jnp.where(lanes == self_index, tree.num_nodes, 0).astype(jnp.int32)
     unroll = 8
     iter_cap = r_cap // unroll
     if r_cap % unroll:
         raise ValueError(f"let_cap must be a multiple of {unroll}")
+
+    fanout = _EXPORT_FANOUT
+    if fanout:
+        # Per-destination lane group [root lane | fanout child lanes]:
+        # child starts come from the skip chain below the root (row 1 is
+        # the first child; each child's skip is the next sibling);
+        # missing children land at num_nodes, so their lanes start done.
+        starts, ends = [], []
+        s = jnp.minimum(jnp.int32(1), tree.num_nodes)
+        for _ in range(fanout):
+            starts.append(s)
+            s = jnp.where(s < tree.num_nodes, tree.skip[s], tree.num_nodes)
+            ends.append(s)  # subtree end = next sibling's start
+        starts = jnp.stack(starts).astype(jnp.int32)  # (F,)
+        ends = jnp.stack(ends).astype(jnp.int32)  # (F,)
+        # Root decision per destination, same predicate as the body:
+        # child lanes only walk when the root is INTERNAL for d (any
+        # other root kind exports just the root row / its member chain,
+        # which the root lane emits alone). Per-column element reads —
+        # slicing one row of the big column-major table materializes a
+        # padded copy (CLAUDE.md layout trap b).
+        rx = tree.nodes_f32[:, 0][0]
+        ry = tree.nodes_f32[:, 1][0]
+        rz = tree.nodes_f32[:, 2][0]
+        rw = tree.nodes_f32[:, WIDTH][0]
+        rnc = tree.nodes_f32[:, NO_CHILD][0]
+        dxr = jnp.maximum(
+            jnp.maximum(bbox_lo[:, 0] - rx, rx - bbox_hi[:, 0]), 0.0
+        )
+        dyr = jnp.maximum(
+            jnp.maximum(bbox_lo[:, 1] - ry, ry - bbox_hi[:, 1]), 0.0
+        )
+        dzr = jnp.maximum(
+            jnp.maximum(bbox_lo[:, 2] - rz, rz - bbox_hi[:, 2]), 0.0
+        )
+        dminr = jnp.sqrt(dxr * dxr + dyr * dyr + dzr * dzr)  # (P,)
+        root_internal = (rw >= theta * dminr) & (rnc <= 0.0)
+        n_lane = 1 + fanout
+        w_total = p * n_lane
+        lane_dest = jnp.repeat(
+            jnp.arange(p, dtype=jnp.int32), n_lane
+        )  # (W,)
+        lane_j = jnp.tile(jnp.arange(n_lane, dtype=jnp.int32), p)
+        is_root_lane = lane_j == 0
+        cur0 = jnp.where(
+            lane_dest == self_index,
+            tree.num_nodes,
+            jnp.where(
+                is_root_lane,
+                0,
+                jnp.where(
+                    jnp.take(root_internal, lane_dest),
+                    jnp.take(starts, jnp.maximum(lane_j - 1, 0)),
+                    tree.num_nodes,
+                ),
+            ),
+        ).astype(jnp.int32)
+        # a child lane is done when it crosses its own subtree end —
+        # the subtree's natural exit skip lands exactly on the next
+        # sibling's start, which belongs to the sibling's lane
+        end_w = jnp.where(
+            is_root_lane,
+            tree.num_nodes,
+            jnp.take(ends, jnp.maximum(lane_j - 1, 0)),
+        ).astype(jnp.int32)
+        blo_w = jnp.take(bbox_lo, lane_dest, axis=0)  # (W, 3)
+        bhi_w = jnp.take(bbox_hi, lane_dest, axis=0)
+        width_w = w_total
+    else:
+        lanes = jnp.arange(p, dtype=jnp.int32)
+        cur0 = jnp.where(
+            lanes == self_index, tree.num_nodes, 0
+        ).astype(jnp.int32)
+        is_root_lane = None
+        end_w = jnp.full((p,), tree.num_nodes, jnp.int32)
+        blo_w, bhi_w = bbox_lo, bbox_hi
+        width_w = p
 
     def cond(carry):
         it, cur, _, _, _, _ = carry
@@ -171,20 +258,20 @@ def export_walk(
         it, cur, koff, keys, kinds, membs = carry
         k_rows, kd_rows, m_rows = [], [], []
         for _ in range(unroll):
-            done = cur >= tree.num_nodes
-            raw = jnp.take(tbl_walk, cur, axis=0)  # (P, 8)
+            done = cur >= end_w
+            raw = jnp.take(tbl_walk, cur, axis=0)  # (W, 8)
             xyzw = lax.bitcast_convert_type(raw[:, :4], jnp.float32)
             nskip, nfirst, ncnt = raw[:, 5], raw[:, 6], raw[:, 7]
             dx = jnp.maximum(
-                jnp.maximum(bbox_lo[:, 0] - xyzw[:, 0], xyzw[:, 0] - bbox_hi[:, 0]),
+                jnp.maximum(blo_w[:, 0] - xyzw[:, 0], xyzw[:, 0] - bhi_w[:, 0]),
                 0.0,
             )
             dy = jnp.maximum(
-                jnp.maximum(bbox_lo[:, 1] - xyzw[:, 1], xyzw[:, 1] - bbox_hi[:, 1]),
+                jnp.maximum(blo_w[:, 1] - xyzw[:, 1], xyzw[:, 1] - bhi_w[:, 1]),
                 0.0,
             )
             dz = jnp.maximum(
-                jnp.maximum(bbox_lo[:, 2] - xyzw[:, 2], xyzw[:, 2] - bbox_hi[:, 2]),
+                jnp.maximum(blo_w[:, 2] - xyzw[:, 2], xyzw[:, 2] - bhi_w[:, 2]),
                 0.0,
             )
             dmin = jnp.sqrt(dx * dx + dy * dy + dz * dz)
@@ -208,32 +295,70 @@ def export_walk(
                 nskip,
                 jnp.where(near, cur, cur + 1),
             )
-            cur = jnp.where(done, cur, nxt)
+            if is_root_lane is not None:
+                # a root lane emitting INTERNAL stops after that one row
+                # (its children walk in the sibling lanes)
+                nxt = jnp.where(
+                    is_root_lane & ~theta_ok & ~near, tree.num_nodes, nxt
+                )
+            # finished lanes park at num_nodes so the loop cond (and the
+            # overflow check) see them uniformly done even when their
+            # subtree end is an interior row
+            cur = jnp.where(done, tree.num_nodes, nxt)
         at = (it * unroll, jnp.int32(0))
         keys = lax.dynamic_update_slice(keys, jnp.stack(k_rows, axis=0), at)
         kinds = lax.dynamic_update_slice(kinds, jnp.stack(kd_rows, axis=0), at)
         membs = lax.dynamic_update_slice(membs, jnp.stack(m_rows, axis=0), at)
         return it + 1, cur, koff, keys, kinds, membs
 
-    keys0 = jnp.full((r_cap, p), tree.num_nodes, jnp.int32)
-    kinds0 = jnp.zeros((r_cap, p), jnp.int32)
-    membs0 = jnp.full((r_cap, p), n_src, jnp.int32)
+    keys0 = jnp.full((r_cap, width_w), tree.num_nodes, jnp.int32)
+    kinds0 = jnp.zeros((r_cap, width_w), jnp.int32)
+    membs0 = jnp.full((r_cap, width_w), n_src, jnp.int32)
     _, cur_end, _, keys, kinds, membs = lax.while_loop(
         cond,
         body,
         (
             jnp.int32(0),
             cur0,
-            jnp.zeros((p,), jnp.int32),
+            jnp.zeros((width_w,), jnp.int32),
             keys0,
             kinds0,
             membs0,
         ),
     )
-    overflow = cur_end < tree.num_nodes
-    keys = keys.T  # (P, R)
-    kinds = kinds.T
-    membs = membs.T
+    if fanout:
+        # Reassemble each destination's lanes into DFS order: original
+        # node index IS DFS rank, and a leaf's member rows carry
+        # ascending payload indices, so one (key, memb) sort per
+        # destination reproduces the single-lane emission order exactly;
+        # sentinels (num_nodes, n_src) sink to the end. Truncation to
+        # r_cap keeps the DFS prefix — identical to the single-lane
+        # walk running out of buffer. A lane can never legitimately
+        # overflow before its destination total does (lane rows <=
+        # destination rows <= r_cap in every non-overflow case), so the
+        # overflow semantics are unchanged.
+        n_lane = 1 + fanout
+        keys = keys.T.reshape(p, n_lane * r_cap)
+        kinds = kinds.T.reshape(p, n_lane * r_cap)
+        membs = membs.T.reshape(p, n_lane * r_cap)
+        keys_s, membs_s, kinds_s = lax.sort(
+            (keys, membs, kinds), num_keys=2, is_stable=False
+        )
+        total_rows = jnp.sum((kinds_s != _SENTINEL).astype(jnp.int32), axis=1)
+        keys = keys_s[:, :r_cap]
+        kinds = kinds_s[:, :r_cap]
+        membs = membs_s[:, :r_cap]
+        overflow = (
+            jnp.any(
+                (cur_end < tree.num_nodes).reshape(p, n_lane), axis=1
+            )
+            | (total_rows > r_cap)
+        )
+    else:
+        overflow = cur_end < tree.num_nodes
+        keys = keys.T  # (P, R)
+        kinds = kinds.T
+        membs = membs.T
     qq = jnp.arange(r_cap, dtype=jnp.int32)[None, :]
 
     # ---- payloads ----
@@ -321,6 +446,53 @@ def export_walk(
         first=first_out,
         count=count_out,
         parts=parts,
+        n_rows=n_rows,
+        overflow=overflow,
+    )
+
+
+def wire_arrays(exp: LetExport) -> tuple:
+    """The subset of a LetExport that must actually cross the ICI:
+    (nodes, skip, n_rows, overflow) — 36 B/row instead of the full
+    struct's 60 B, and 4 collectives instead of 7.
+
+    The dropped fields are receiver-derivable (``import_from_wire``):
+    ``first`` is a pure iota by construction (export_walk emits
+    first_out = row index; both assemblers re-offset it anyway),
+    ``count`` is 1 exactly on member rows, and a member row's payload
+    ``parts`` equals its own node row's cog/mass columns (export_walk
+    builds the member cogm FROM the payload). Member rows are
+    recognizable on the wire: they are the only rows with width == 0
+    and mass > 0 (real cells always have positive width; sentinel rows
+    carry zero mass). A zero-mass source particle would be
+    misclassified as a non-member — its force contribution is zero
+    either way, so physics is unaffected."""
+    return exp.nodes, exp.skip, exp.n_rows, exp.overflow
+
+
+def import_from_wire(
+    nodes: jax.Array,
+    skip: jax.Array,
+    n_rows: jax.Array,
+    overflow: jax.Array,
+) -> LetExport:
+    """Rebuild the full LetExport from the wire arrays (see
+    ``wire_arrays``) — bit-equal to exchanging every field."""
+    p, r_cap = skip.shape
+    member = (nodes[:, :, WIDTH] == 0.0) & (nodes[:, :, 3] > 0.0)
+    sent4 = jnp.concatenate(
+        [jnp.full((1, 1, 3), 1e15, jnp.float32),
+         jnp.zeros((1, 1, 1), jnp.float32)],
+        axis=2,
+    )
+    return LetExport(
+        nodes=nodes,
+        skip=skip,
+        first=jnp.broadcast_to(
+            jnp.arange(r_cap, dtype=jnp.int32)[None, :], (p, r_cap)
+        ),
+        count=member.astype(jnp.int32),
+        parts=jnp.where(member[:, :, None], nodes[:, :, :4], sent4),
         n_rows=n_rows,
         overflow=overflow,
     )

@@ -52,11 +52,12 @@ from wgpu_n_body_tpu.ops.tree_walk import tree_forces
 from wgpu_n_body_tpu.ops.tree_walk_group import group_tree_forces
 from wgpu_n_body_tpu.params import ParticleState, SimParams, TreeParams
 from wgpu_n_body_tpu.parallel.let_tree import (
-    LetExport,
     assemble_forest,
     assemble_import_forest,
     auto_let_cap,
     export_walk,
+    import_from_wire,
+    wire_arrays,
 )
 from wgpu_n_body_tpu.parallel.mesh import PARTICLE_AXIS, state_sharding
 
@@ -101,10 +102,13 @@ def _schedule_fns(params: SimParams, p_size: int, tp: TreeParams, let_cap: int):
         exp = export_walk(
             tree_l, pos_s, mass_s, blo, bhi, my, tp.theta, let_cap
         )
-        imp = LetExport(
+        # Only the wire subset crosses the ICI (36 B/row vs the full
+        # struct's 60, 4 collectives vs 7); first/count/parts are
+        # receiver-derivable bit-exactly (let_tree.import_from_wire).
+        imp = import_from_wire(
             *(
                 lax.all_to_all(x, PARTICLE_AXIS, 0, 0)
-                for x in exp
+                for x in wire_arrays(exp)
             )
         )
         return pos_s, mass_s, velh_s, keys, idx, tree_l, pos_new, exp, imp
