@@ -136,6 +136,94 @@ def test_http_round_trip():
         server.shutdown()
 
 
+def test_blend_lut_matches_host_f64_quantization():
+    # entry k must be exactly png_bytes' quantization of the host f64
+    # blend (f64 pow -> f32 cast -> clip -> *255 -> uint8 truncation)
+    from wgpu_n_body_tpu.runners.renderer import blend_lut_u8, raster_blend
+
+    lut = blend_lut_u8(0.25)
+    ks = np.arange(400, dtype=np.int64).reshape(20, 20)
+    img = raster_blend([ks])
+    expect = (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+    got = lut[np.minimum(ks, 255)]
+    np.testing.assert_array_equal(got, expect)
+    # the f32 cast saturates at k=61 for alpha=0.25; the clamp-at-255
+    # indexing relies on the tail being constant
+    assert lut[61] == 255 and (lut[61:] == 255).all()
+
+
+def test_raster_blend_u8_device_matches_host():
+    import jax.numpy as jnp
+
+    from wgpu_n_body_tpu.runners.renderer import raster_blend, raster_blend_u8
+
+    rng = np.random.default_rng(7)
+    tiers = [
+        rng.integers(0, 300, size=(32, 32)).astype(np.int32)
+        for _ in range(3)
+    ]
+    expect = (
+        np.clip(raster_blend(tiers), 0.0, 1.0) * 255.0
+    ).astype(np.uint8)
+    for k in (1, 2, 3):
+        got = raster_blend_u8([jnp.asarray(t) for t in tiers[:k]])
+        ref = (
+            np.clip(raster_blend(tiers[:k]), 0.0, 1.0) * 255.0
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(got, ref)
+    assert expect.dtype == np.uint8  # host fallback path too
+    np.testing.assert_array_equal(raster_blend_u8(tiers), expect)
+
+
+def test_speculative_tiers_bit_equal_to_exact_render():
+    # Drive a flythrough through every speculation transition (static ->
+    # flagged -> tier-3 -> back off) and require each served PNG to be
+    # bit-equal to the exact single-frame device render of the same
+    # pre-step state (render_frame_on_device), regardless of which
+    # tier passes the speculation dispatched or corrected.
+    from wgpu_n_body_tpu.runners.renderer import render_frame_on_device
+
+    v = _viewer(n=64, window=2)
+    # march the camera through the disc and back out: footprints grow
+    # past the tier-1 window (tier 2), then past _MEDIUM_WINDOW for
+    # particles near znear (tier 3), then shrink again
+    script = [""] * 2 + ["w"] * 8 + ["s"] * 6 + [""] * 2
+    for i, keys in enumerate(script):
+        pos_before = np.asarray(v.runner.state.pos)
+        cam = v.camera
+        for k in (keys.split(",") if keys else []):
+            cam = cam.moved(KEYMAP[k], CONTROLLER_SPEED)
+        expect_img = render_frame_on_device(
+            pos_before, cam, v.width, v.height, window=v.window
+        )
+        expect = png_bytes(
+            (np.clip(expect_img, 0.0, 1.0) * 255.0).astype(np.uint8),
+            level=v.png_level,
+        )
+        got = v.tick(keys=keys)
+        assert got == expect, f"frame {i} (keys={keys!r}) diverged"
+
+
+def test_speculation_wasted_tier2_is_harmless():
+    # force a tier-2 speculation on a frame with zero flagged
+    # footprints: the pass must rasterize nothing and the frame must
+    # match the exact render
+    from wgpu_n_body_tpu.runners.renderer import render_frame_on_device
+
+    v = _viewer(n=64)
+    v._spec_t2, v._spec_t3_chunks = True, 1
+    pos_before = np.asarray(v.runner.state.pos)
+    expect_img = render_frame_on_device(
+        pos_before, v.camera, v.width, v.height, window=v.window
+    )
+    expect = png_bytes(
+        (np.clip(expect_img, 0.0, 1.0) * 255.0).astype(np.uint8),
+        level=v.png_level,
+    )
+    assert v.tick() == expect
+    assert v._spec_t2 is False and v._spec_t3_chunks == 0
+
+
 if __name__ == "__main__":
     import sys
 

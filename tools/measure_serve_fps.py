@@ -36,7 +36,7 @@ def main() -> int:
         "the scene and stresses the medium-footprint raster tier)",
     )
     ap.add_argument(
-        "--window", type=int, default=8,
+        "--window", type=int, default=4,
         help="tier-1 device raster window (px); spans past window-1 "
         "escalate to tier 2",
     )

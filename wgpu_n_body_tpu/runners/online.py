@@ -33,11 +33,19 @@ import json
 import threading
 import time
 
+import numpy as np
+
 from wgpu_n_body_tpu.runners.headless import OfflineHeadless
 from wgpu_n_body_tpu.runners.renderer import (
+    _BIG_CAP,
+    _MEDIUM_CAP,
+    _MEDIUM_WINDOW,
+    _big_raster_fn,
+    _combine_blend_u8_fn,
+    _medium_raster_fn,
     Camera,
     png_bytes,
-    raster_blend,
+    raster_blend_u8,
     raster_dispatch,
     raster_resolve,
 )
@@ -93,7 +101,7 @@ class OnlineViewer:
         png_level: int = 1,
         step_sync_every: int = 32,
         fps_window: int = 40,
-        window: int = 8,
+        window: int = 4,
     ):
         self.runner = OfflineHeadless(sim, init_fn, key=key)
         self.camera = Camera(aspect=width / height)
@@ -104,11 +112,16 @@ class OnlineViewer:
         self.png_level = png_level
         self.window = window
         self.step_sync_every = max(1, step_sync_every)
+        self.alpha = 0.25
         self.frames = 0
         self.last_step_ms = float("nan")
         self.last_frame_ms = float("nan")
         self._frame_clock = collections.deque(maxlen=max(2, fps_window))
         self._lock = threading.Lock()
+        # Tier-escalation speculation (see tick): whether last frame had
+        # window-exceeding footprints, and how many tier-3 chunks it took.
+        self._spec_t2 = False
+        self._spec_t3_chunks = 0
 
     def warmup(self) -> None:
         """Compile the physics step and EVERY raster tier before the
@@ -116,16 +129,11 @@ class OnlineViewer:
         first time a footprint crosses their span threshold — a measured
         ~20 s frame spike (2026-08-19) that tanks the windowed fps for
         its whole window. Dummy all-False flag vectors compile the real
-        (shape-dependent) traces without needing staged scenes."""
+        (shape-dependent) traces without needing staged scenes. The
+        device combine+blend is warmed for 1-3 pending arrays (tier 1
+        alone / +tier 2 / +one tier-3 chunk — more simultaneous chunks
+        means >256 near-lens particles, rare enough to jit on demand)."""
         import jax.numpy as jnp
-
-        from wgpu_n_body_tpu.runners.renderer import (
-            _BIG_CAP,
-            _MEDIUM_CAP,
-            _MEDIUM_WINDOW,
-            _big_raster_fn,
-            _medium_raster_fn,
-        )
 
         with self._lock:
             out = raster_dispatch(
@@ -133,7 +141,12 @@ class OnlineViewer:
                 self.height, footprint=self.footprint,
                 window=self.window,
             )
-            raster_blend(raster_resolve(out, self.width, self.height))
+            raster_blend_u8(
+                raster_resolve(out, self.width, self.height), self.alpha
+            )
+            zc = jnp.zeros((self.height, self.width), jnp.int32)
+            for k in (1, 2, 3):
+                _combine_blend_u8_fn(k, self.alpha)(*([zc] * k))
             if self.footprint == "triangle":
                 n = int(self.runner.state.pos.shape[0])
                 zb = jnp.zeros((n,), jnp.bool_)
@@ -159,6 +172,91 @@ class OnlineViewer:
             if d:
                 self.camera = self.camera.moved(d, self.speed)
 
+    def _resolve_tiers(self, raster):
+        """Enqueue the escalation passes this frame needs, WITHOUT any
+        host<->device scalar wait when speculation applies.
+
+        The legacy ``raster_resolve`` fetches two device scalars (n_big,
+        then tier-2's n_big2) to decide what to dispatch — each fetch
+        waits for its producing pass AND the tail of the previous
+        frame's step on the in-order stream (measured 31 + 45 ms of the
+        197 ms flythrough frame, PERF.md round-4 fly profile). But
+        flythroughs are temporally coherent: if the LAST frame had
+        flagged footprints, dispatch tier 2 (and the same number of
+        tier-3 chunks) unconditionally — a tier-2 pass with zero flags
+        rasterizes nothing (all slots compact to invalid) and tier-3
+        chunks past the flagged count are valid-masked to zero, so a
+        mispredict only wastes device time, never correctness. The
+        scalars are verified AFTER the blend (everything is complete by
+        then, so the reads are ~free) and any missing escalation is
+        re-dispatched as a corrective pass (one slower frame at a
+        static->flythrough transition or a tier-3 appearance).
+
+        Returns (pending, med_out | None, speculated, nb | None)."""
+        counts_d, n_big_d, big_d, cx_d, cy_d, sx_d, sy_d = raster
+        if self._spec_t2:
+            import jax.numpy as jnp
+
+            med = _medium_raster_fn(
+                self.width, self.height, _MEDIUM_WINDOW, _MEDIUM_CAP
+            )
+            counts2, n_big2, big2_d, idx_d = med(
+                big_d, cx_d, cy_d, sx_d, sy_d
+            )
+            pending = [counts_d, counts2]
+            if self._spec_t3_chunks:
+                big = _big_raster_fn(self.width, self.height, _BIG_CAP)
+                for c in range(self._spec_t3_chunks):
+                    pending.append(
+                        big(
+                            big2_d, idx_d, cx_d, cy_d, sx_d, sy_d,
+                            jnp.int32(c * _BIG_CAP),
+                        )
+                    )
+            return pending, (n_big2, big2_d, idx_d), True, None
+        pending = raster_resolve(raster, self.width, self.height)
+        return pending, None, False, int(n_big_d)
+
+    def _dispatch_blend(self, pending):
+        """Enqueue the device-side tier combine + u8 blend (one (H, W)
+        uint8 image crosses the tunnel instead of up to three i32 count
+        images — the host fetch+blend measured 116 ms of the 197 ms
+        flythrough frame). Returns the un-fetched device array, or None
+        when a host-side (degenerate-tier) array is in the mix."""
+        if any(isinstance(p, np.ndarray) for p in pending):
+            return None
+        return _combine_blend_u8_fn(len(pending), self.alpha)(*pending)
+
+    def _verify_speculation(self, raster, pending, med, blended):
+        """Post-blend speculation check (scalar reads are free now: every
+        producer completed before the step in queue order). Returns the
+        final uint8 frame, re-dispatching corrective passes on the rare
+        mispredict; updates the speculation state for the next frame."""
+        import jax.numpy as jnp
+
+        nb = int(raster[1])
+        if nb > _MEDIUM_CAP:
+            # degenerate: tier-2's compaction would have truncated.
+            # Exact (slow, loud-in-profiles) legacy path.
+            pending = raster_resolve(raster, self.width, self.height)
+            self._spec_t2, self._spec_t3_chunks = False, 0
+            return raster_blend_u8(pending, self.alpha)
+        nb2 = int(med[0]) if nb else 0
+        need = -(-nb2 // _BIG_CAP)
+        if need > self._spec_t3_chunks:
+            big = _big_raster_fn(self.width, self.height, _BIG_CAP)
+            for c in range(self._spec_t3_chunks, need):
+                pending.append(
+                    big(
+                        med[1], med[2], raster[3], raster[4], raster[5],
+                        raster[6], jnp.int32(c * _BIG_CAP),
+                    )
+                )
+            blended = self._dispatch_blend(pending)
+        self._spec_t2 = nb > 0
+        self._spec_t3_chunks = need
+        return np.asarray(blended)
+
     def tick(self, keys: str = "", focused: bool = True) -> bytes:
         """One redraw: returns the PNG frame. Steps only when focused
         (bin/visualize.rs:65-71); the drawn state is pre-step, like the
@@ -168,20 +266,20 @@ class OnlineViewer:
             self.apply_input(keys)
             # 1) enqueue the raster of the pre-step state (device order
             # guarantees it completes before the step touches/donates
-            # the same buffers), then RESOLVE its escalation tiers so
-            # any tier-2/3 passes a flythrough needs are enqueued ahead
-            # of the step too (enqueued after, they'd serialize behind
-            # the ~75 ms step on the in-order device stream — measured
-            # 294 ms p50 mid-flythrough vs ~115 ms resolved-first).
+            # the same buffers), resolve/speculate its escalation tiers,
+            # and enqueue the device blend — all AHEAD of the step so
+            # none of it serializes behind the ~60 ms step on the
+            # in-order device stream.
             raster = raster_dispatch(
                 self.runner.state.pos, self.camera, self.width,
                 self.height, footprint=self.footprint,
                 window=self.window,
             )
-            pending = raster_resolve(raster, self.width, self.height)
+            pending, med, speculated, nb = self._resolve_tiers(raster)
+            blended = self._dispatch_blend(pending)
             if focused:
                 # 2) dispatch the next step WITHOUT waiting — it runs on
-                # device while the host blends/encodes this frame.
+                # device while the host fetches/encodes this frame.
                 sync = self.frames % self.step_sync_every == 0
                 t0 = time.perf_counter()
                 for _ in range(self.steps_per_frame):
@@ -194,8 +292,20 @@ class OnlineViewer:
                         * 1e3
                         / self.steps_per_frame
                     )
-            # 3) fetch + blend + encode, overlapped with the step.
-            img = raster_blend(pending)
+            # 3) fetch the u8 frame (its device work precedes the step
+            # in queue order) + encode, overlapped with the step.
+            if speculated:
+                img = self._verify_speculation(raster, pending, med, blended)
+            else:
+                img = (
+                    np.asarray(blended)
+                    if blended is not None
+                    else raster_blend_u8(pending, self.alpha)
+                )
+                self._spec_t2 = 0 < nb <= _MEDIUM_CAP
+                self._spec_t3_chunks = (
+                    max(0, len(pending) - 2) if self._spec_t2 else 0
+                )
             png = png_bytes(img, level=self.png_level)
             self.frames += 1
             now = time.perf_counter()

@@ -528,7 +528,7 @@ def raster_dispatch(
     width: int = 400,
     height: int = 400,
     footprint: str = "triangle",
-    window: int = 8,
+    window: int = 4,
 ):
     """Enqueue the on-device rasterizer WITHOUT blocking; returns the
     raw device outputs for ``raster_finish``. The split lets a caller
@@ -636,6 +636,60 @@ def raster_blend(pending: list, alpha: float = 0.25) -> np.ndarray:
     return img.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def blend_lut_u8(alpha: float = 0.25) -> np.ndarray:
+    """256-entry uint8 LUT of the blend-then-quantize pipeline: entry k
+    is EXACTLY what ``png_bytes(raster_blend([k]))`` would emit for a
+    pixel with k coverage hits — f64 1-(1-alpha)^k, cast to f32
+    (raster_blend's return dtype), clipped, *255.0, truncated to uint8
+    (png_bytes' quantization, which floors). Counts are integers, so a
+    LUT makes the device u8 blend bit-equal to the host f64 path by
+    construction: for alpha=0.25 the value is monotone in k and the f32
+    cast saturates 1-0.75^k to 1.0f at k=61, so every k >= 255 maps to
+    lut[255] and ``min(counts, 255)`` indexing is exact."""
+    k = np.arange(256, dtype=np.float64)
+    img = (1.0 - (1.0 - float(alpha)) ** k).astype(np.float32)
+    lut = (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+    if lut[-1] != lut[-2]:  # non-saturating alpha: clamp would be wrong
+        raise ValueError(f"blend LUT does not saturate for alpha={alpha}")
+    return lut
+
+
+@functools.lru_cache(maxsize=None)
+def _combine_blend_u8_fn(n_arrays: int, alpha: float):
+    """Jitted device-side tier combine + blend: sum ``n_arrays`` (H, W)
+    i32 coverage-count images and map through ``blend_lut_u8`` so ONE
+    (H, W) uint8 image crosses the tunnel per frame. The serve loop's
+    host blend previously fetched up to three (H, W) i32 images
+    (~1.9 MB) per flythrough frame — measured 116 ms of the 197 ms
+    frame (PERF.md round-4 fly profile); the u8 image is 160 KB."""
+    import jax
+    import jax.numpy as jnp
+
+    lut = jnp.asarray(blend_lut_u8(alpha))
+
+    def combine(*counts):
+        total = counts[0]
+        for c in counts[1:]:
+            total = total + c
+        return jnp.take(lut, jnp.minimum(total, 255), axis=0)
+
+    return jax.jit(combine)
+
+
+def raster_blend_u8(pending: list, alpha: float = 0.25) -> np.ndarray:
+    """Like ``raster_blend`` + png quantization, but the combine and the
+    blend run ON DEVICE and only a (H, W) uint8 image is fetched —
+    bit-equal to ``png_bytes``'s quantization of the host f64 blend (see
+    ``blend_lut_u8``). Falls back to the host path when any pending
+    array is already host-side (the degenerate >_MEDIUM_CAP composite)."""
+    if any(isinstance(p, np.ndarray) for p in pending):
+        img = raster_blend(pending, alpha)
+        return (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+    fn = _combine_blend_u8_fn(len(pending), alpha)
+    return np.asarray(fn(*pending))
+
+
 def render_frame_on_device(
     pos,
     camera: Camera | None = None,
@@ -643,7 +697,7 @@ def render_frame_on_device(
     height: int = 400,
     alpha: float = 0.25,
     footprint: str = "triangle",
-    window: int = 8,
+    window: int = 4,
 ) -> np.ndarray:
     """On-device rasterizer: ``pos`` stays a device array end-to-end and
     only the (H, W) int32 coverage image crosses to the host, where the
@@ -680,11 +734,17 @@ def png_bytes(img: np.ndarray, level: int = 6) -> bytes:
 
     ``level``: zlib compression level. The serve frame loop uses 1 —
     on a 400x400 frame it encodes several times faster than the zlib
-    default for a few KB of extra payload on a loopback socket."""
+    default for a few KB of extra payload on a loopback socket.
+
+    A uint8 ``img`` is taken as already-quantized grayscale (the serve
+    loop's device-side blend emits these, ``raster_blend_u8``)."""
     import struct
     import zlib
 
-    g = (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+    if img.dtype == np.uint8:
+        g = img
+    else:
+        g = (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
     h, w = g.shape
 
     def chunk(tag: bytes, data: bytes) -> bytes:
