@@ -48,6 +48,21 @@ from wgpu_n_body_tpu.params import ParticleState, TreeParams
 COG_X, COG_Y, COG_Z, MASS, WIDTH, IS_SINGLE, NO_CHILD = range(7)
 NODE_F32_COLS = 8  # padded to 8 for aligned row gathers
 
+# ---- profiling-only stage-attribution flags (tools/measure_step.py
+# pattern: flip at trace time in a FRESH function/process, never in
+# production — outputs are intentionally wrong when set) -----------------
+#: skip the octet_pts comb-table assembly (walks needing it will crash);
+#: prices the 12-section point-table build+concat inside the octet stage.
+_DEBUG_SKIP_PTS = False
+#: emission writes only skip/first/count (nodes rows + chain payload left
+#: at init); prices the 8-col row assembly + arena DUS traffic.
+_DEBUG_EMIT_MINIMAL = False
+#: replace the float-float prefix sum with a plain f32 cumsum (node
+#: mass/cog totals lose the compensated accuracy); prices ff_cumsum_ext.
+_DEBUG_PLAIN_CUMSUM = False
+#: override the emission chunk size (default 65536).
+_DEBUG_EMIT_CHUNK: int | None = None
+
 
 class TreeArrays(NamedTuple):
     """Static-shape octree in DFS order.
@@ -228,7 +243,7 @@ def build_tree(
     # keeps its (sentinel) initialization, which is exactly what the
     # un-chunked emission wrote there.
     need_chain = params.walk_engine == "octet"
-    chunk_e = min(65536, -(-cap // 8) * 8)
+    chunk_e = min(_DEBUG_EMIT_CHUNK or 65536, -(-cap // 8) * 8)
     n_chunks = -(-cap // chunk_e)
     cap_pad = n_chunks * chunk_e
     has_nodes = c_per_particle > 0
@@ -246,7 +261,13 @@ def build_tree(
     # stackless walk forever, observed as a TPU worker hang).
     re_all_flat = re_all.reshape(-1)
     mvals = jnp.concatenate([mass[:, None], mass[:, None] * pos], axis=1)
-    cs_hi, cs_lo = scan.ff_cumsum_ext(mvals)  # (n+1, 4)
+    if _DEBUG_PLAIN_CUMSUM:  # profiling-only: prices the ff scan
+        cs_hi = jnp.concatenate(
+            [jnp.zeros((1, 4), jnp.float32), jnp.cumsum(mvals, axis=0)]
+        )
+        cs_lo = jnp.zeros_like(cs_hi)
+    else:
+        cs_hi, cs_lo = scan.ff_cumsum_ext(mvals)  # (n+1, 4)
     # Sentinel cog must be far away yet keep r^2 and w finite in f32 (the
     # group eval relies on zero mass x finite weight == exactly zero;
     # 1e30 would square to inf and poison sums with inf*0 = NaN).
@@ -295,7 +316,10 @@ def build_tree(
         )
         rows = jnp.where(valid[:, None], rows, sentinel[None, :])
         first_c = jnp.where(valid, pon_c, n)
-        nodes_b = lax.dynamic_update_slice(nodes_b, rows, (k0, jnp.int32(0)))
+        if not _DEBUG_EMIT_MINIMAL:
+            nodes_b = lax.dynamic_update_slice(
+                nodes_b, rows, (k0, jnp.int32(0))
+            )
         skip_b = lax.dynamic_update_slice(
             skip_b, jnp.where(valid, jnp.take(offset_ext, re_k), cap), (k0,)
         )
@@ -303,7 +327,7 @@ def build_tree(
         count_b = lax.dynamic_update_slice(
             count_b, jnp.where(valid, count_k, 0), (k0,)
         )
-        if need_chain:
+        if need_chain and not _DEBUG_EMIT_MINIMAL:
             # combined per-node payload row for the octet-table gathers
             # below: [cog x/y/z bits, mass bits, lvl, first, no_child,
             # cell x/y/z] (the child's octet ptr comes from a separate
@@ -563,19 +587,22 @@ def build_tree(
     # (cap_oct, 8, 4) row-major-tiled temp whose 4-wide minor dim pads
     # to 128 lanes — a 32x-expanded 9.8 GB allocation at N=32M that was
     # the single-chip OOM wall.
-    sib_pairs = jnp.concatenate(
-        [
-            jnp.concatenate(
-                [pts_rows[2 * p][:, 0:4], pts_rows[2 * p + 1][:, 0:4]],
-                axis=1,
-            )
-            for p in range(4)
-        ],
-        axis=0,
-    )  # (cap_oct*4, 8), row p*cap_oct + ptr
-    octet_pts = jnp.concatenate(
-        pts_rows + [sib_pairs, root_row, sent_row], axis=0
-    )  # (cap_oct*12 + 2, 8); single row = slot*cap_oct + ptr
+    if _DEBUG_SKIP_PTS:  # profiling-only: prices the comb-table assembly
+        octet_pts = jnp.concatenate([root_row, sent_row], axis=0)
+    else:
+        sib_pairs = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [pts_rows[2 * p][:, 0:4], pts_rows[2 * p + 1][:, 0:4]],
+                    axis=1,
+                )
+                for p in range(4)
+            ],
+            axis=0,
+        )  # (cap_oct*4, 8), row p*cap_oct + ptr
+        octet_pts = jnp.concatenate(
+            pts_rows + [sib_pairs, root_row, sent_row], axis=0
+        )  # (cap_oct*12 + 2, 8); single row = slot*cap_oct + ptr
 
     return TreeArrays(
         nodes_f32=nodes,
