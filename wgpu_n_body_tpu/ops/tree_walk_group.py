@@ -162,6 +162,24 @@ _DEBUG_CURSOR_EMIT = False
 # production paths.
 _DEBUG_SKIP_PASS2 = False
 
+# Internal instrumentation: when True, phase B skips force evaluation and
+# instead reports, through the returned (B, 3) acc array, the
+# post-compaction list-adjacency statistic that prices the r3 stretch
+# lever "phase-B consecutive-entry row packing" (VERDICT r3 #8) BEFORE
+# building it. Per lane (written on tile slot 0, so summing the returned
+# acc over axis 0 yields totals):
+#   col 0  real rows after compaction (== visits)
+#   col 1  aligned merge pairs: comb rows 2t and 2t+1 both present — the
+#          rows a (T/2, 16)-paired comb table would fuse into one gather
+#          row; new row count = col0 - col1
+#   col 2  any-adjacency pairs (id, id+1 both present, no alignment) —
+#          upper bound for a slice_sizes=(2,8) gather variant
+# Decision law (CLAUDE.md measured gather costs): 16-col rows cost 1.52x
+# an 8-col row, so the packed gather wins only if col1/col0 > 0.342; the
+# eval VPU work per row doubles, so dummy halves on unmerged rows eat the
+# win unless col1/col0 >= ~0.5 (the quad-row wash, PERF.md r2).
+_DEBUG_MERGE_STAT = False
+
 
 def _tile_assignment(keys, n, depth, g_tile, ta_blk_max=2048):
     """Split the sorted particle axis into density-adaptive pieces.
@@ -1093,6 +1111,22 @@ def group_tree_forces(
                 is_stable=False,
             )
             visits_b = jnp.sum((lists_b != big).astype(jnp.int32), axis=0)
+            if _DEBUG_MERGE_STAT:
+                # lists_b is sorted ascending per lane with `big` at the
+                # tail, so equal-row16 / consecutive ids are adjacent.
+                prv = lists_b[:-1, :]
+                nxt = lists_b[1:, :]
+                adj = (nxt == prv + 1) & (prv != big)
+                alig = adj & (prv % 2 == 0)
+                stat = jnp.zeros((width, g, 3), jnp.float32)
+                stat = stat.at[:, 0, 0].set(visits_b.astype(jnp.float32))
+                stat = stat.at[:, 0, 1].set(
+                    jnp.sum(alig.astype(jnp.int32), axis=0).astype(jnp.float32)
+                )
+                stat = stat.at[:, 0, 2].set(
+                    jnp.sum(adj.astype(jnp.int32), axis=0).astype(jnp.float32)
+                )
+                return stat
             lists_b = jnp.where(lists_b == big, sent, lists_b)
         ord_b = jnp.argsort(-visits_b).astype(jnp.int32)
         lists_bs = jnp.take(lists_b, ord_b, axis=1)
