@@ -34,12 +34,37 @@ def main() -> int:
         help="comma-separated tree_walk_group debug flag names to set True "
         "(fresh-process per variant, so jit trace reuse is impossible)",
     )
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="run on the CPU backend (harness smoke tests; the axon TPU "
+        "plugin is only disabled via jax.config, not env vars — CLAUDE.md)",
+    )
+    ap.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="MODULE_ATTR=VALUE",
+        help="set a module knob before tracing, e.g. "
+        "tree_walk_group._OCTET_UNROLL=16 or tree_build._DEBUG_EMIT_CHUNK="
+        "131072 (value parsed as Python literal; fresh process per variant)",
+    )
+    ap.add_argument(
+        "--tree-kw",
+        action="append",
+        default=[],
+        metavar="FIELD=VALUE",
+        help="extra TreeParams field override, e.g. leaf_bucket=32 or "
+        "walk_tile=128 (value parsed as Python literal)",
+    )
     args = ap.parse_args()
 
     cache = os.path.expanduser("~/.cache/wgpu_n_body_tpu/xla")
     os.makedirs(cache, exist_ok=True)
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -55,6 +80,21 @@ def main() -> int:
                 raise SystemExit(f"unknown debug flag {name!r}")
             setattr(twg, name, True)
 
+    import ast
+    import importlib
+
+    for spec in args.set:
+        target, _, raw = spec.partition("=")
+        mod_name, _, attr = target.rpartition(".")
+        mod = importlib.import_module(f"wgpu_n_body_tpu.ops.{mod_name}")
+        if not hasattr(mod, attr):
+            raise SystemExit(f"unknown module knob {spec!r}")
+        setattr(mod, attr, ast.literal_eval(raw))
+    tree_kw = {}
+    for spec in args.tree_kw:
+        k, _, raw = spec.partition("=")
+        tree_kw[k] = ast.literal_eval(raw)
+
     init_fn = {
         "uniform": inits.uniform_init,
         "disc": inits.disc_init,
@@ -64,7 +104,7 @@ def main() -> int:
     if args.sim == "tree":
         from wgpu_n_body_tpu.models.tree import TreeSim
 
-        sim = TreeSim(sp, TreeParams(theta=args.theta))
+        sim = TreeSim(sp, TreeParams(theta=args.theta, **tree_kw))
     else:
         from wgpu_n_body_tpu.models.naive import NaiveSim
 
@@ -96,6 +136,12 @@ def main() -> int:
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
     }
+    if args.flags:
+        rec["flags"] = args.flags
+    if args.set:
+        rec["set"] = args.set
+    if tree_kw:
+        rec["tree_kw"] = tree_kw
     print(json.dumps(rec))
     return 0
 
