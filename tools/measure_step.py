@@ -35,6 +35,12 @@ def main() -> int:
         "(fresh-process per variant, so jit trace reuse is impossible)",
     )
     ap.add_argument(
+        "--diagnose",
+        action="store_true",
+        help="run sim.diagnose(state) after timing (extra compile; reports "
+        "walk deferral / overflow so cap sweeps can prove they are safe)",
+    )
+    ap.add_argument(
         "--cpu",
         action="store_true",
         help="run on the CPU backend (harness smoke tests; the axon TPU "
@@ -124,6 +130,14 @@ def main() -> int:
         hard_sync(state.pos)
         times.append(time.perf_counter() - t0)
 
+    if args.diagnose and hasattr(sim, "diagnose"):
+        diag = {
+            k: (v.item() if hasattr(v, "item") else v)
+            for k, v in sim.diagnose(state).items()
+        }
+    else:
+        diag = None
+
     rec = {
         "tag": args.tag,
         "sim": args.sim,
@@ -142,6 +156,8 @@ def main() -> int:
         rec["set"] = args.set
     if tree_kw:
         rec["tree_kw"] = tree_kw
+    if diag is not None:
+        rec["diagnose"] = diag
     print(json.dumps(rec))
     return 0
 
