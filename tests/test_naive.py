@@ -77,6 +77,39 @@ def test_pallas_matches_dense(n):
     )
 
 
+@pytest.mark.parametrize("n", [200, 1000])
+def test_pallas_mxu_variant_matches_dense_loosely(n):
+    """Opt-in MXU-hybrid kernel (NaiveParams.mxu): the factored
+    sum(w*p_j) - p_i*sum(w) accumulation is NOT reference-exact — measured
+    f32-vs-f64 error is ~2e-4 p99 / ~3e-2 max-rel on near-zero-acc
+    particles (NumPy probe, PERF.md round 4) — so it gets its own looser
+    bound here; the exact default path keeps the strict one above."""
+    st = _random_state(jax.random.key(3), n)
+    params = SimParams(particle_num=n, g=1e-4, e=1e-4, dt=0.016)
+    pos_new = st.pos + 0.01 * st.vel
+    dense = naive_forces_dense(pos_new, st.pos, st.mass, params)
+    pallas = naive_forces_pallas(
+        pos_new, st.pos, st.mass, params, tile_i=128, tile_j=128, mxu=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(pallas), np.asarray(dense), rtol=5e-2, atol=2e-8
+    )
+    # and the shard path keeps the diagonal self-mask aligned
+    shard = naive_forces_pallas(
+        pos_new[64:192],
+        st.pos,
+        st.mass,
+        params,
+        tile_i=128,
+        tile_j=128,
+        mxu=True,
+        row_offset=64,
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard), np.asarray(dense[64:192]), rtol=5e-2, atol=2e-8
+    )
+
+
 def test_naive_sim_backend_runs_and_paths_agree():
     params = SimParams(particle_num=256, g=1e-5)
     st = uniform_init(jax.random.key(4), params)

@@ -1,0 +1,89 @@
+"""A/B the naive all-pairs Pallas kernel variants on the real chip.
+
+Usage (fresh process per variant — in-process later-jit readings drift):
+    PYTHONPATH="/root/repo:$PYTHONPATH" python tools/measure_naive.py --mxu 0
+    PYTHONPATH="/root/repo:$PYTHONPATH" python tools/measure_naive.py --mxu 1
+
+Measures the BARE force kernel (dependency-chained, donated inputs are not
+needed — the kernel is out-of-place) and the full NaiveSim step, min of
+--reps, hard-synced (block_until_ready under-reports on the tunnel).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=262_144)
+    ap.add_argument("--mxu", type=int, default=1)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--tile-i", type=int, default=256)
+    ap.add_argument("--tile-j", type=int, default=1024)
+    ap.add_argument("--kernel-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from wgpu_n_body_tpu.inits import uniform_init
+    from wgpu_n_body_tpu.ops import naive_pallas
+    from wgpu_n_body_tpu.params import NaiveParams, SimParams
+    from wgpu_n_body_tpu.utils.profiling import hard_sync
+
+    N = args.n
+    params = SimParams(particle_num=N, g=1e-6)
+    key = jax.random.key(0)
+    st = uniform_init(key, params)
+    pos, vel, mass = st.pos, st.vel, st.mass
+    pos_new = pos + params.dt * vel
+
+    def kern(pn, po, m):
+        return naive_pallas.naive_forces_pallas(
+            pn,
+            po,
+            m,
+            params,
+            tile_i=args.tile_i,
+            tile_j=args.tile_j,
+            mxu=bool(args.mxu),
+        )
+
+    # bare kernel: dependency-chain acc back into pos_new
+    acc = kern(pos_new, pos, mass)
+    hard_sync(acc)
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        acc = kern(pos_new + 0.0 * acc, pos, mass)
+        hard_sync(acc)
+        best = min(best, time.perf_counter() - t0)
+    print(
+        f"kernel mxu={args.mxu} tiles=({args.tile_i},{args.tile_j}) "
+        f"N={N}: {best*1e3:.2f} ms  {N*N/best:.3e} pairs/s"
+    )
+    if args.kernel_only:
+        return
+
+    # full step via NaiveSim (module default flips the variant)
+    naive_pallas._USE_MXU = bool(args.mxu)
+    from wgpu_n_body_tpu.models.naive import NaiveSim
+
+    sim = NaiveSim(params, NaiveParams())
+    state = sim.init_state(jax.random.key(0), uniform_init)
+    step = sim.make_step(donate=True)
+    state = step(state)
+    hard_sync(state.pos)
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        state = step(state)
+    hard_sync(state.pos)
+    dt = (time.perf_counter() - t0) / args.reps
+    print(
+        f"step   mxu={args.mxu} N={N}: {dt*1e3:.2f} ms  {N*N/dt:.3e} pairs/s"
+    )
+
+
+if __name__ == "__main__":
+    main()

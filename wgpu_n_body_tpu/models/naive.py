@@ -29,7 +29,7 @@ def _naive_step_fn(params: SimParams, ap: NaiveParams) -> StepFn:
         def force(pos_new, pos_old, mass):
             return naive_forces_pallas(
                 pos_new, pos_old, mass, params,
-                tile_i=ap.tile_i, tile_j=ap.tile_j,
+                tile_i=ap.tile_i, tile_j=ap.tile_j, mxu=ap.mxu,
             )
 
     else:

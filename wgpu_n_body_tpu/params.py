@@ -53,6 +53,13 @@ class NaiveParams:
       tile_i: Pallas receiver-tile (sublane) size for the all-pairs kernel.
       tile_j: Pallas source-tile (lane, streamed) size.
       use_pallas: if False, use the pure-jnp blockwise force (oracle path).
+      mxu: opt-in MXU-hybrid kernel (ops/naive_pallas._kernel_mxu). Exact
+        per-pair geometry, but the accumulation is factored as
+        sum(w*p_j) - p_i*sum(w) through a matmul — faster, NOT
+        reference-exact: measured f32 error vs f64 truth is ~2e-4 at p99
+        and up to ~3e-2 relative on near-zero-acc particles (the dx-form
+        default measures ~2e-5 / 4e-3). Default off; physics parity tests
+        run the exact path.
 
     Defaults were swept on a v5e chip (2026-08): (512, 1024) gives
     1.14e11 pairs/s at N=262144; within 1% of the best point measured.
@@ -61,6 +68,7 @@ class NaiveParams:
     tile_i: int = 512
     tile_j: int = 2048
     use_pallas: bool = True
+    mxu: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
