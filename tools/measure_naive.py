@@ -66,22 +66,36 @@ def main() -> None:
     if args.kernel_only:
         return
 
-    # full step via NaiveSim (module default flips the variant)
-    naive_pallas._USE_MXU = bool(args.mxu)
+    # Full step via NaiveSim with the SAME variant/tiles as the kernel
+    # bench above (ADVICE r4: _naive_step_fn passes mxu/tiles explicitly
+    # from NaiveParams, so flipping naive_pallas._USE_MXU here was a
+    # no-op that mislabeled the VPU step as MXU). NOTE: this runs in the
+    # same process right after the kernel loop — within-process later
+    # jits read up to 1.5x slow (CLAUDE.md), so for kernel-vs-step
+    # comparisons run the step alone in a fresh process (without
+    # --kernel-only's preceding loop). min-of-reps with per-rep
+    # hard_sync, matching the fused-step measurement rules.
     from wgpu_n_body_tpu.models.naive import NaiveSim
 
-    sim = NaiveSim(params, NaiveParams())
+    sim = NaiveSim(
+        params,
+        NaiveParams(
+            tile_i=args.tile_i, tile_j=args.tile_j, mxu=bool(args.mxu)
+        ),
+    )
     state = sim.init_state(jax.random.key(0), uniform_init)
     step = sim.make_step(donate=True)
     state = step(state)
     hard_sync(state.pos)
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(args.reps):
+        t0 = time.perf_counter()
         state = step(state)
-    hard_sync(state.pos)
-    dt = (time.perf_counter() - t0) / args.reps
+        hard_sync(state.pos)
+        best = min(best, time.perf_counter() - t0)
     print(
-        f"step   mxu={args.mxu} N={N}: {dt*1e3:.2f} ms  {N*N/dt:.3e} pairs/s"
+        f"step   mxu={args.mxu} tiles=({args.tile_i},{args.tile_j}) "
+        f"N={N}: {best*1e3:.2f} ms  {N*N/best:.3e} pairs/s"
     )
 
 

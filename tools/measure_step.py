@@ -92,7 +92,22 @@ def main() -> int:
     for spec in args.set:
         target, _, raw = spec.partition("=")
         mod_name, _, attr = target.rpartition(".")
-        mod = importlib.import_module(f"wgpu_n_body_tpu.ops.{mod_name}")
+        if not mod_name:
+            raise SystemExit(
+                f"module knob {spec!r} needs a module prefix, e.g. "
+                "tree_walk_group._OCTET_UNROLL=16"
+            )
+        # bare names resolve under ops/; fully-qualified module paths
+        # (wgpu_n_body_tpu.parallel.let_tree._EXPORT_FANOUT=8) pass through
+        try:
+            if "." in mod_name:
+                mod = importlib.import_module(mod_name)
+            else:
+                mod = importlib.import_module(
+                    f"wgpu_n_body_tpu.ops.{mod_name}"
+                )
+        except ImportError:
+            raise SystemExit(f"unknown module knob {spec!r}")
         if not hasattr(mod, attr):
             raise SystemExit(f"unknown module knob {spec!r}")
         setattr(mod, attr, ast.literal_eval(raw))
