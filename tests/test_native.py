@@ -66,6 +66,8 @@ def test_host_dfs_order_matches_morton_sort():
     )
 
 
+
+@pytest.mark.slow
 def test_host_arena_forces_match_device_arena_forces():
     from wgpu_n_body_tpu.ops.naive_ref import naive_forces_dense
     from wgpu_n_body_tpu.ops.tree_build import TreeArrays, build_tree, morton_sort
@@ -108,6 +110,8 @@ def test_host_arena_forces_match_device_arena_forces():
     assert np.abs(dev - exact).mean() / scale < 0.01
 
 
+
+@pytest.mark.slow
 def test_hybrid_backend_matches_device_backend():
     from wgpu_n_body_tpu.models.tree import TreeSim
     from wgpu_n_body_tpu.models.tree_host import TreeSimHost

@@ -82,6 +82,8 @@ def test_orbit_keeps_radius():
     assert abs(np.linalg.norm(np.asarray(v.camera.eye)) - r0) < 1e-6
 
 
+
+@pytest.mark.slow
 def test_warmup_compiles_all_tiers():
     # warmup() must compile the step plus every raster tier so a
     # flythrough never jits mid-run (a measured ~20 s frame spike), and

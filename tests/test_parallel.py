@@ -66,6 +66,8 @@ def test_sharded_state_is_actually_sharded():
     assert len(out.pos.sharding.device_set) == 8  # sharding preserved
 
 
+
+@pytest.mark.slow
 def test_sharded_tree_matches_single_device():
     from wgpu_n_body_tpu.models.tree import TreeSim
     from wgpu_n_body_tpu.params import TreeParams
@@ -90,6 +92,8 @@ def test_sharded_tree_matches_single_device():
     assert len(b.pos.sharding.device_set) == 8
 
 
+
+@pytest.mark.slow
 def test_sharded_tree_group_walk_close_to_single_device():
     from wgpu_n_body_tpu.models.tree import TreeSim
     from wgpu_n_body_tpu.params import TreeParams
@@ -134,6 +138,8 @@ def test_cli_headless_sharded_naive_smoke(capsys):
     assert "us/step" in capsys.readouterr().out
 
 
+
+@pytest.mark.slow
 def test_cli_headless_sharded_let_smoke(capsys):
     from wgpu_n_body_tpu.cli import main
 

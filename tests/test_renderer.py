@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from wgpu_n_body_tpu.runners.renderer import (
     POINT_EXTENT,
@@ -41,6 +42,8 @@ def test_behind_camera_and_out_of_frustum_culled():
     assert (img > 0).sum() == 1
 
 
+
+@pytest.mark.slow
 def test_triangle_footprint_scales_with_resolution():
     # The instanced triangle has clip half-extent 0.006
     # (online_renderer.rs:224-229): its pixel area grows ~quadratically
@@ -116,6 +119,8 @@ def test_device_raster_matches_host_splat():
     np.testing.assert_array_equal(dev, host)
 
 
+
+@pytest.mark.slow
 def test_device_raster_big_footprint_composites_exactly():
     # A particle almost touching znear has a footprint far wider than the
     # device window. The device frame must NOT be abandoned (VERDICT r3
@@ -136,6 +141,8 @@ def test_device_raster_big_footprint_composites_exactly():
     np.testing.assert_array_equal(dev, host)
 
 
+
+@pytest.mark.slow
 def test_device_raster_medium_tier_composites_exactly():
     # Footprints between the tier-1 window (8 px) and the medium window
     # (32 px) — a camera flythrough flags thousands of these — must
@@ -169,6 +176,8 @@ def test_device_raster_medium_tier_composites_exactly():
     np.testing.assert_array_equal(dev, host)
 
 
+
+@pytest.mark.slow
 def test_device_raster_big_tier_rechunks_past_cap():
     # More flagged-huge triangles than one tier-3 dispatch covers
     # (_BIG_CAP): raster_finish must re-dispatch the same compiled

@@ -142,6 +142,8 @@ def test_energy_drift_small_over_short_run():
     assert abs(e1 - e0) / abs(e0) < 1e-3
 
 
+
+@pytest.mark.slow
 def test_energy_drift_long_horizon_proxy():
     # CI-scale proxy of BASELINE config 5 (100k-step drift run): N=512
     # spherical, 10k leapfrog steps in scan chunks. The reference

@@ -58,6 +58,8 @@ def test_morton_sort_orders_by_key_and_preserves_multiset():
     )
 
 
+
+@pytest.mark.slow
 def test_build_invariants_singleton_leaves():
     n = 300
     tp = TreeParams(max_depth=10, leaf_bucket=1)  # reference structure
@@ -128,6 +130,8 @@ def test_build_invariants_bucket_leaves():
     )
 
 
+
+@pytest.mark.slow
 def test_theta_zero_equals_naive():
     n = 128
     params = SimParams(particle_num=n, g=1e-3)
@@ -140,6 +144,8 @@ def test_theta_zero_equals_naive():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-8)
 
 
+
+@pytest.mark.slow
 def test_theta_accuracy_improves_as_theta_shrinks():
     n = 256
     params = SimParams(particle_num=n, g=1e-3)
@@ -165,6 +171,8 @@ def test_theta_accuracy_improves_as_theta_shrinks():
     assert e30 < 0.003
 
 
+
+@pytest.mark.slow
 def test_tree_step_runs_and_conserves_mass_multiset():
     params = SimParams(particle_num=256, g=1e-5)
     sim = TreeSim(params, TreeParams(theta=0.5, max_depth=10))
@@ -177,6 +185,8 @@ def test_tree_step_runs_and_conserves_mass_multiset():
     )
 
 
+
+@pytest.mark.slow
 def test_tree_vs_naive_trajectory_short():
     # With theta=0.2 a short trajectory stays close to all-pairs. TreeSim
     # reorders particles (reference behavior), so compare as point sets via
@@ -197,6 +207,8 @@ def test_tree_vs_naive_trajectory_short():
     np.testing.assert_allclose(pa, pb, rtol=1e-3, atol=5e-5)
 
 
+
+@pytest.mark.slow
 def test_coincident_pair_matches_naive_semantics():
     # Two exactly coincident particles land in one bucket and are
     # direct-summed: the coincident pair produces the same NaN the naive
@@ -259,6 +271,8 @@ def _cluster_state(n_cluster, n_far, seed=8):
     )
 
 
+
+@pytest.mark.slow
 def test_overfull_terminal_cell_exact_per_particle():
     # A max-depth cell holding MORE than leaf_bucket particles (no_child
     # forced at lvl == depth) must still be summed exactly — the chunked
@@ -285,6 +299,8 @@ def test_overfull_terminal_cell_exact_per_particle():
     )
 
 
+
+@pytest.mark.slow
 def test_overfull_terminal_cell_exact_group_walk():
     # Opened terminal cells of ANY count (including overfull max-depth
     # cells) are summed exactly via member expansion — no deferral needed.
@@ -327,6 +343,8 @@ def _tight_pairs_state(n_pairs, seed=9):
     )
 
 
+
+@pytest.mark.slow
 def test_arena_overflow_flags_and_walk_terminates():
     # ADVICE r1 #1 repro: 64 tight-pair particles with leaf_bucket=1 build
     # ~8x more nodes than a factor-1 arena holds. Before the clamp the
@@ -349,6 +367,8 @@ def test_arena_overflow_flags_and_walk_terminates():
     assert acc.shape == (n, 3)
 
 
+
+@pytest.mark.slow
 def test_overflow_surfaces_in_runner():
     from wgpu_n_body_tpu.models.tree import TreeSim
     from wgpu_n_body_tpu.runners.headless import OfflineHeadless
@@ -369,6 +389,8 @@ def test_overflow_surfaces_in_runner():
     ok_sim.check_overflow(ok_sim.init_state(jax.random.key(0), uniform_init))
 
 
+
+@pytest.mark.slow
 def test_octet_table_overflow_flags_and_walk_terminates():
     """An undersized octet table (compact internal-node indexing for the
     octet walk engine) must raise the same loud overflowed flag as the

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wgpu_n_body_tpu.inits import uniform_init
 from wgpu_n_body_tpu.models.tree import TreeSim
@@ -40,6 +41,8 @@ def _forces(st, theta, n, tile=32, l_cap=2048, bucket=16, engine="skip",
     return np.asarray(grp), np.asarray(per), np.asarray(exact), int(stats.deferred)
 
 
+
+@pytest.mark.slow
 def test_group_theta_zero_equals_naive():
     n = 200  # not a multiple of the tile -> exercises padding
     for bucket in (1, 16):
@@ -50,6 +53,8 @@ def test_group_theta_zero_equals_naive():
         np.testing.assert_allclose(per, exact, rtol=2e-4, atol=1e-8)
 
 
+
+@pytest.mark.slow
 def test_octet_engine_matches_skip_engine():
     """The octet phase-A engine opens the same conservative node set as
     the skip engine, so both are exact at theta=0 and track the oracle at
@@ -66,6 +71,8 @@ def test_octet_engine_matches_skip_engine():
     assert np.abs(grp - exact).mean() / scale < 0.03
 
 
+
+@pytest.mark.slow
 def test_group_at_least_as_accurate_as_per_particle():
     n = 384
     grp, per, exact, deferred = _forces(_state(jax.random.key(1), n), 0.75, n)
@@ -77,6 +84,8 @@ def test_group_at_least_as_accurate_as_per_particle():
     assert err_grp < 0.03
 
 
+
+@pytest.mark.slow
 def test_group_list_overflow_defers_but_stays_exact():
     # theta=0 with a tiny list cap: every tile overflows, all particles go
     # down the per-particle fallback, and the result is still the exact
@@ -109,6 +118,8 @@ def test_chunked_fallback_exact_beyond_small_tier():
     np.testing.assert_allclose(grp, exact, rtol=2e-4, atol=1e-8)
 
 
+
+@pytest.mark.slow
 def test_tree_sim_group_walk_end_to_end():
     params = SimParams(particle_num=300, g=1e-5)
     sim = TreeSim(
@@ -131,6 +142,8 @@ def test_group_and_per_particle_walks_agree_at_small_theta():
     np.testing.assert_allclose(grp, per, rtol=1e-3, atol=1e-7)
 
 
+
+@pytest.mark.slow
 def test_two_pass_straggler_scheduler_exact():
     """The TPU-only two-pass scheduler (pass-1 early stop at the active
     floor + compacted straggler re-walk with a 2x row budget) must

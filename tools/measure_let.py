@@ -43,8 +43,16 @@ def main() -> int:
     ap.add_argument("--let-cap", type=int, default=16384)
     ap.add_argument(
         "--component",
-        choices=["sort", "build", "export", "import_walk", "local_walk"],
+        choices=[
+            "sort", "build", "export", "import_walk", "local_walk",
+            "fused_walk", "import_prep",
+        ],
         required=True,
+        help="fused_walk = ONE group walk over local tree + imports "
+        "(round 5; its delta over local_walk is the fused import "
+        "overhead, target <= 0.1 s at n_local=4M); import_prep = the "
+        "receiver-side compaction + import-octet build alone; "
+        "import_walk = the r4 SPLIT walk's second half (let_fused=0)",
     )
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--tag", type=str, default="")
@@ -95,10 +103,12 @@ def main() -> int:
     import jax.numpy as jnp
 
     from wgpu_n_body_tpu import inits
+    from wgpu_n_body_tpu.ops.import_octets import build_import_octets
     from wgpu_n_body_tpu.ops.tree_build import build_tree, morton_sort
     from wgpu_n_body_tpu.ops.tree_walk_group import group_tree_forces
     from wgpu_n_body_tpu.parallel.let_tree import (
         assemble_import_forest,
+        compact_import_forest,
         export_walk,
     )
     from wgpu_n_body_tpu.params import SimParams, TreeParams
@@ -217,6 +227,55 @@ def main() -> int:
         imp_j = jax.jit(imp_walk)
         fn = lambda: imp_j(ss.pos, exp.parts, exp)[0]
         deferred = int(imp_j(ss.pos, exp.parts, exp)[1])
+    elif args.component in ("fused_walk", "import_prep"):
+        import jax.numpy as _jnp
+
+        exp = export_walk(
+            tree, ss.pos, ss.mass, blo, bhi, jnp.int32(0), tp.theta,
+            args.let_cap,
+        )
+        if args.geometry == "octants":
+            delta = blo - blo[0:1]
+            exp = exp._replace(
+                nodes=exp.nodes.at[:, :, :3].add(delta[:, None, :]),
+                parts=exp.parts.at[:, :, :3].add(delta[:, None, :]),
+            )
+        rows = [int(x) for x in exp.n_rows]
+        ovf = [bool(x) for x in exp.overflow]
+        cap_forest = tp.let_forest_cap(p, args.let_cap)
+        part_base = n + 1
+
+        def prep(imp_local):
+            bundle = compact_import_forest(imp_local, cap_forest, part_base)
+            return build_import_octets(
+                bundle.forest, bundle.roots, bundle.extents,
+                tree.root_width, tp.max_depth, part_base,
+            ), bundle
+
+        if args.component == "import_prep":
+            prep_j = jax.jit(lambda il: prep(il)[0].octets)
+            fn = lambda: prep_j(exp)
+        else:
+
+            def fused(pos_new, pos, mass, t, imp_local):
+                iset, bundle = prep(imp_local)
+                src_pos = _jnp.concatenate(
+                    [pos, _jnp.full((1, 3), 1e15, _jnp.float32),
+                     bundle.parts[:, :3]]
+                )
+                src_mass = _jnp.concatenate(
+                    [mass, _jnp.zeros((1,), _jnp.float32),
+                     bundle.parts[:, 3]]
+                )
+                acc, stats = group_tree_forces(
+                    pos_new, src_pos, src_mass, t, keys, sp, tp,
+                    imports=iset,
+                )
+                return acc, stats.deferred
+
+            fused_j = jax.jit(fused)
+            fn = lambda: fused_j(ss.pos, ss.pos, ss.mass, tree, exp)[0]
+            deferred = int(fused_j(ss.pos, ss.pos, ss.mass, tree, exp)[1])
     else:  # local_walk
         walk_j = jax.jit(
             lambda pos_new, pos, mass, t: group_tree_forces(
@@ -247,9 +306,11 @@ def main() -> int:
         "backend": jax.default_backend(),
     }
     rec["geometry"] = args.geometry
-    if args.component in ("export", "import_walk"):
+    if args.component in ("export", "import_walk", "fused_walk", "import_prep"):
         rec["export_rows"] = rows
         rec["export_overflow"] = ovf
+    if args.component == "fused_walk":
+        rec["walk_deferred"] = deferred
     if args.component == "export":
         rec["export_stage"] = args.export_stage
         if args.prune_via_sort is not None:

@@ -23,6 +23,12 @@ def main() -> None:
     ap.add_argument("--tile-i", type=int, default=256)
     ap.add_argument("--tile-j", type=int, default=1024)
     ap.add_argument("--kernel-only", action="store_true")
+    ap.add_argument(
+        "--recip-newton", type=int, default=0,
+        help="probe: replace the kernel's divide with rsqrt^2 + one "
+        "Newton step (naive_pallas._RECIP_NEWTON; fresh process per "
+        "variant — measurement-only, not reference-exact)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -31,6 +37,9 @@ def main() -> None:
     from wgpu_n_body_tpu.ops import naive_pallas
     from wgpu_n_body_tpu.params import NaiveParams, SimParams
     from wgpu_n_body_tpu.utils.profiling import hard_sync
+
+    if args.recip_newton:
+        naive_pallas._RECIP_NEWTON = True
 
     N = args.n
     params = SimParams(particle_num=N, g=1e-6)

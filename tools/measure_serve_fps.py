@@ -45,6 +45,14 @@ def main() -> int:
         help="skip viewer.warmup() (A/B the in-process cost of eagerly "
         "compiling tiers 2/3 before measurement)",
     )
+    ap.add_argument(
+        "--prof", action="store_true",
+        help="phase attribution mode (VERDICT r4 weak #3): run each "
+        "frame SERIALIZED with a sync after every phase (tier-1 raster, "
+        "tier-2/3 passes, blend, step, fetch+png) — the sum exceeds the "
+        "pipelined frame time by design; reports per-phase p50s and "
+        "tier-3 chunk counts instead of fps",
+    )
     args = ap.parse_args()
 
     cache = os.path.expanduser("~/.cache/wgpu_n_body_tpu/xla")
@@ -82,6 +90,78 @@ def main() -> int:
         viewer.warmup()  # compile the step + ALL raster tiers up front
     for _ in range(args.warmup):
         viewer.tick(keys=args.keys, focused=True)
+
+    if args.prof:
+        import numpy as _np
+
+        from wgpu_n_body_tpu.runners.renderer import (
+            _MEDIUM_CAP,
+            png_bytes,
+            raster_blend_u8,
+            raster_dispatch,
+        )
+        from wgpu_n_body_tpu.utils.profiling import hard_sync
+
+        def sync_all(xs):
+            for x in xs:
+                if hasattr(x, "block_until_ready"):
+                    hard_sync(x)
+
+        phases = {k: [] for k in
+                  ("t1", "t23", "blend", "step", "fetch_png")}
+        chunks = []
+        for _ in range(args.frames):
+            viewer.apply_input(args.keys)
+            t = time.perf_counter()
+            raster = raster_dispatch(
+                viewer.runner.state.pos, viewer.camera, viewer.width,
+                viewer.height, footprint=viewer.footprint,
+                window=viewer.window,
+            )
+            sync_all(raster)
+            t1 = time.perf_counter(); phases["t1"].append(t1 - t)
+            pending, med, speculated, nb = viewer._resolve_tiers(raster)
+            sync_all(pending)
+            t2 = time.perf_counter(); phases["t23"].append(t2 - t1)
+            blended = viewer._dispatch_blend(pending)
+            if blended is not None:
+                hard_sync(blended)
+            t3 = time.perf_counter(); phases["blend"].append(t3 - t2)
+            viewer.runner.state = viewer.runner._step(viewer.runner.state)
+            viewer.runner.step_num += 1
+            hard_sync(viewer.runner.state.pos)
+            t4 = time.perf_counter(); phases["step"].append(t4 - t3)
+            if speculated:
+                img = viewer._verify_speculation(
+                    raster, pending, med, blended
+                )
+            else:
+                img = (
+                    _np.asarray(blended)
+                    if blended is not None
+                    else raster_blend_u8(pending, viewer.alpha)
+                )
+                viewer._spec_t2 = 0 < nb <= _MEDIUM_CAP
+                viewer._spec_t3_chunks = (
+                    max(0, len(pending) - 2) if viewer._spec_t2 else 0
+                )
+            png_bytes(img, level=viewer.png_level)
+            t5 = time.perf_counter(); phases["fetch_png"].append(t5 - t4)
+            chunks.append(viewer._spec_t3_chunks)
+        p50 = lambda xs: round(sorted(xs)[len(xs) // 2] * 1e3, 2)
+        rec = {
+            "tag": args.tag, "mode": "prof", "keys": args.keys,
+            "window": args.window, "n": args.n, "frames": args.frames,
+            "p50_ms": {k: p50(v) for k, v in phases.items()},
+            "max_ms": {
+                k: round(max(v) * 1e3, 2) for k, v in phases.items()
+            },
+            "t3_chunks_max": max(chunks), "t3_chunks_p50":
+                sorted(chunks)[len(chunks) // 2],
+            "backend": jax.default_backend(),
+        }
+        print(json.dumps(rec))
+        return 0
     t0 = time.perf_counter()
     png_len = 0
     frame_ms = []

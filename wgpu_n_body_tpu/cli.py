@@ -62,7 +62,10 @@ def _build_sim(args):
         return ShardedTreeSim(
             params,
             mesh,
-            TreeParams(theta=args.theta),
+            TreeParams(
+                theta=args.theta,
+                let_fused=not getattr(args, "split_let_walk", False),
+            ),
             schedule=schedule,
             let_cap=getattr(args, "let_cap", None),
         )
@@ -107,6 +110,12 @@ def _add_sim_flags(p, n, g, e, dt, sim, sim_list=False):
         "--let-cap", type=int, default=None,
         help="LET export rows per destination (default: auto-sized "
         "from measured need, parallel/let_tree.py)",
+    )
+    p.add_argument(
+        "--split-let-walk", action="store_true",
+        help="use the round-4 SPLIT LET walk (separate skip-engine "
+        "import walk) instead of the default fused octet walk — A/B "
+        "lever, see TreeParams.let_fused",
     )
 
 

@@ -39,6 +39,17 @@ from wgpu_n_body_tpu.params import SimParams
 
 _PAD_SENTINEL = 1e15
 
+# Probe flag (VERDICT r4 stretch #8, fresh-process A/B only): replace the
+# kernel's one true divide  w = x / (r^3 + e)  with a reciprocal built
+# from the rsqrt unit plus one Newton refinement:
+#     y0 = rsqrt(d)^2          (~1-2 ulp of 1/d)
+#     y1 = y0 * (2 - d*y0)     (Newton: quadratic convergence)
+# The kernel is VPU-transcendental-bound (~60% of slot peak, PERF.md) and
+# divides occupy multiple rsqrt-class slots, so if the trade wins the
+# whole step speeds up. NOT reference-exact (last-ulp differences vs the
+# rounded divide) — measurement-only; production paths keep the divide.
+_RECIP_NEWTON = False
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -79,7 +90,14 @@ def _kernel(
             r2s = r2
         inv_r = jax.lax.rsqrt(r2s)
         r = r2 * inv_r  # = sqrt(r2)
-        w = mgdt_ref[0:1, :] * inv_r / (r2 * r + e)
+        if _RECIP_NEWTON:  # probe: divide -> rsqrt^2 + one Newton step
+            d = r2 * r + e
+            y = jax.lax.rsqrt(d)
+            y = y * y
+            y = y * (2.0 - d * y)
+            w = mgdt_ref[0:1, :] * inv_r * y
+        else:
+            w = mgdt_ref[0:1, :] * inv_r / (r2 * r + e)
         if masked:
             w = jnp.where(self_mask, 0.0, w)
 

@@ -251,6 +251,7 @@ def group_tree_forces(
     params: SimParams,
     tree_params: TreeParams,
     gid_offset: jax.Array | int = 0,
+    imports=None,
 ) -> tuple[jax.Array, GroupWalkStats]:
     """Returns ((B,3) acc*dt, stats).
 
@@ -261,10 +262,21 @@ def group_tree_forces(
     src_mass: (N,) sorted masses.
     keys:     Morton keys of the receivers (same slice as pos_new).
     gid_offset: global sorted index of receiver row 0 (shard offset).
+    imports:  optional ops.import_octets.ImportSet — a LET import forest
+              fused INTO this walk (octet engine only): its roots ride
+              each lane's traversal stack as extra seeds, its octet/pts
+              tables are appended to the local ones, and its member
+              payloads live at rows [part_base, part_base + cap_forest)
+              of the CALLER-CONCATENATED src_pos/src_mass. One walk then
+              covers local + remote gravity — the group machinery's
+              fixed budgets are paid once instead of twice (the split
+              walk's measured 0.33 s overhead, PERF.md).
     """
     n = pos_new.shape[0]  # receivers
     n_src = src_pos.shape[0]
     cap = tree.nodes_f32.shape[0] - 1
+    if imports is not None and tree.octets is None:
+        raise ValueError("imports fusion requires the octet engine")
     g = tree_params.effective_walk_tile(n)
     l_cap = tree_params.walk_list_cap
     theta = tree_params.theta
@@ -347,9 +359,19 @@ def group_tree_forces(
         # arithmetic in the row index — no index columns anywhere.
         cap_oct = tree.octets.shape[0]
         spair_base = cap_oct * 8  # sibling-pair node rows (build-emitted)
-        root_pt = cap_oct * 12
-        sent = cap_oct * 12 + 1
-        pair_base = cap_oct * 12 + 2
+        if imports is not None:
+            cap_imp = imports.octets.shape[0]
+            n_ir = imports.roots.shape[0]
+            imp_base = cap_oct * 12  # import pts sections follow local's
+        else:
+            cap_imp = 0
+            n_ir = 0
+            imp_base = 0
+        cap_tot = cap_oct + cap_imp
+        root_pt = cap_oct * 12 + cap_imp * 12
+        imp_root_base = root_pt + 1
+        sent = root_pt + 1 + n_ir
+        pair_base = sent + 1
         n_pairs = (n_src + 1) // 2
         member_base = 0  # unused by the octet engine
         far_pt = jnp.concatenate(
@@ -380,10 +402,60 @@ def group_tree_forces(
             ],
             axis=0,
         )
-        comb_i32 = jnp.concatenate(
-            [tree.octet_pts, lax.bitcast_convert_type(pair_rows, jnp.int32)],
-            axis=0,
-        )
+        if imports is None:
+            comb_i32 = jnp.concatenate(
+                [
+                    tree.octet_pts,
+                    lax.bitcast_convert_type(pair_rows, jnp.int32),
+                ],
+                axis=0,
+            )
+        else:
+            # Fused layout: [local pts sections | import pts sections |
+            # local root | P import roots | sentinel | member pairs].
+            # Root/sentinel rows are re-synthesized (element reads — the
+            # build's layout lesson) instead of slicing octet_pts' tail.
+            far_bits_i = lax.bitcast_convert_type(
+                jnp.float32(1e15), jnp.int32
+            )
+            far_tail1 = jnp.concatenate(
+                [
+                    jnp.full((1, 1), far_bits_i, jnp.int32),
+                    jnp.zeros((1, 3), jnp.int32),
+                ],
+                axis=1,
+            )
+            root_bits = lax.bitcast_convert_type(
+                jnp.stack([tree.nodes_f32[:, c][0] for c in range(4)])[
+                    None, :
+                ],
+                jnp.int32,
+            )
+            root_comb = jnp.concatenate([root_bits, far_tail1], axis=1)
+            sent_comb = jnp.concatenate([far_tail1, far_tail1], axis=1)
+            iroot_nodes = jnp.take(
+                imports.forest.nodes_f32, imports.roots, axis=0
+            )  # (P, 8)
+            iroot_comb = jnp.concatenate(
+                [
+                    lax.bitcast_convert_type(
+                        iroot_nodes[:, 0:4], jnp.int32
+                    ),
+                    jnp.broadcast_to(far_tail1, (n_ir, 4)),
+                ],
+                axis=1,
+            )
+            comb_i32 = jnp.concatenate(
+                [
+                    tree.octet_pts[: cap_oct * 12],
+                    imports.pts,
+                    root_comb,
+                    iroot_comb,
+                    sent_comb,
+                    lax.bitcast_convert_type(pair_rows, jnp.int32),
+                ],
+                axis=0,
+            )
     else:
         part_bits = lax.bitcast_convert_type(
             jnp.concatenate([src_pos, src_mass[:, None]], axis=1), jnp.int32
@@ -453,12 +525,16 @@ def group_tree_forces(
         # multichip dryrun run on CPU, so unroll shallow there.
         unroll = _OCTET_UNROLL if jax.default_backend() == "tpu" else 1
         r_cap = -(-(2 * l_cap) // 256) * 256
-        iter_cap = (r_cap - k_slots) // (unroll * k_slots)
+        # initial emission rows: the local root plus (fused LET) one row
+        # per import root, rounded up to the slot stride
+        init_rows1 = -(-(1 + n_ir) // k_slots) * k_slots
+        init_rows2 = -(-(1 + n_ir) // k_slots2) * k_slots2
+        iter_cap = (r_cap - init_rows1) // (unroll * k_slots)
         # straggler-pass row budget: the pass is narrow (n2 tiles), so a
         # bigger lists array is cheap memory-wise; the eval cost of the
         # extra rows is the real trade (see TreeParams docstring)
         r_cap2 = tree_params.walk_straggler_budget * r_cap
-        iter_cap2 = (r_cap2 - k_slots2) // (unroll * k_slots2)
+        iter_cap2 = (r_cap2 - init_rows2) // (unroll * k_slots2)
     else:
         unroll = 16
         # rows: multiple of 256 so the eval chunk (256 or 512, see below)
@@ -578,8 +654,14 @@ def group_tree_forces(
         paths deeper than max_depth, i.e. never. The extra stack rows
         over the old empirical 1.5*(depth+4) cost < 1 MB per block.
         """
-        s_cap = 2 * (depth + 2)
-        octets = tree.octets
+        # Fused LET imports (ops/import_octets.py) add one stack seed
+        # per import-forest root (bottom of the stack, walked after the
+        # local tree drains) and one potential initial emission row
+        # each; S grows by n_ir. Import items are recognized by octet
+        # row >= cap_oct and use the identity-mapped import table:
+        # child octet row = parent row + off[c] instead of fc+popcount.
+        s_cap = 2 * (depth + 2) + n_ir
+        octets = octets_cat
         q_scale = jnp.float32(1.0 / 512.0)
         accf = jnp.float32(1.0 + 0.002 * theta)
         # root classification (vector over lanes, outside the loop): the
@@ -605,13 +687,66 @@ def group_tree_forces(
         im0 = jnp.zeros((width,), jnp.int32)
         iw0 = jnp.broadcast_to(r_row[WIDTH], (width,))
         zf0 = jnp.zeros((width,), jnp.float32)  # root cell center: origin
+        init_rows = -(-(1 + n_ir) // k_slots) * k_slots
+        init_list = [jnp.where(active0 & r_acc, root_pt, sent)]
+        szi = jnp.zeros((s_cap, width), jnp.int32)
+        szf = jnp.zeros((s_cap, width), jnp.float32)
+        sp0 = jnp.zeros((width,), jnp.int32)
+        sk0 = sa0 = sb0 = sc0 = sm0 = szi
+        sw0 = sx0 = sy0 = sz0 = szf
+        if imports is not None:
+            # Classify and seed each import root per lane: theta-accepted
+            # roots emit their comb row up front; open/member roots push
+            # compacted stack entries (dead entries are never pushed — a
+            # popped kind-0 entry would strand the lane idle forever).
+            # Import roots are the source chips' level-0 cells: center
+            # origin, width = the shared global root width.
+            dd0 = jnp.arange(s_cap, dtype=jnp.int32)[:, None]
+            for b_ir in range(n_ir):
+                bx = iroot_vals[:, 0][b_ir]
+                by = iroot_vals[:, 1][b_ir]
+                bz = iroot_vals[:, 2][b_ir]
+                bw = iroot_vals[:, WIDTH][b_ir]
+                bnc = iroot_vals[:, NO_CHILD][b_ir]
+                dxb = jnp.maximum(
+                    jnp.maximum(blo[:, 0] - bx, bx - bhi[:, 0]), 0.0
+                )
+                dyb = jnp.maximum(
+                    jnp.maximum(blo[:, 1] - by, by - bhi[:, 1]), 0.0
+                )
+                dzb = jnp.maximum(
+                    jnp.maximum(blo[:, 2] - bz, bz - bhi[:, 2]), 0.0
+                )
+                dmin_b = jnp.sqrt(dxb * dxb + dyb * dyb + dzb * dzb)
+                acc_b = bw < theta * dmin_b
+                alive_b = active0 & iroot_has[b_ir]
+                k_b = jnp.where(
+                    alive_b,
+                    jnp.where(
+                        acc_b, 0, jnp.where(bnc > 0.0, 2, 1)
+                    ),
+                    0,
+                ).astype(jnp.int32)
+                init_list.append(
+                    jnp.where(alive_b & acc_b, imp_root_base + b_ir, sent)
+                )
+                want = k_b > 0
+                a_b = jnp.where(k_b == 1, iroot_ptr[b_ir], iroot_first[b_ir])
+                bb_b = jnp.where(
+                    k_b == 1, iroot_first[b_ir], iroot_count[b_ir]
+                )
+                wsel0 = want[None, :] & (dd0 == sp0[None, :])
+                sk0 = jnp.where(wsel0, k_b[None, :], sk0)
+                sa0 = jnp.where(wsel0, a_b[None, :], sa0)
+                sb0 = jnp.where(wsel0, bb_b[None, :], sb0)
+                sc0 = jnp.where(wsel0, iroot_ext[b_ir], sc0)
+                sw0 = jnp.where(wsel0, bw, sw0)
+                sp0 = sp0 + want.astype(jnp.int32)
         lists0 = jnp.full((rows_cap, width), sent, jnp.int32)
         lists0 = lax.dynamic_update_slice(
-            lists0,
-            jnp.where(active0 & r_acc, root_pt, sent)[None, :],
-            (0, jnp.int32(0)),
+            lists0, jnp.stack(init_list, axis=0), (0, jnp.int32(0))
         )
-        nrows0 = jnp.where(active0, k_slots, 0)
+        nrows0 = jnp.where(active0, init_rows, 0)
 
         def cond(carry):
             it, kind = carry[0], carry[1]
@@ -630,12 +765,12 @@ def group_tree_forces(
                 is_open = kind == 1
                 is_mem = kind == 2
                 act = kind > 0
-                ptr = jnp.clip(jnp.where(is_open, ia, 0), 0, cap_oct - 1)
+                ptr = jnp.clip(jnp.where(is_open, ia, 0), 0, cap_tot - 1)
                 if _DEBUG_DOUBLE_GATHER:
                     # one launch, 2x rows; the second half's indices ride
                     # the same dependency chain (derived from ptr) so the
                     # launch cannot start earlier than the real one would
-                    ptr2 = jnp.clip(ptr * 2 + 1, 0, cap_oct - 1)
+                    ptr2 = jnp.clip(ptr * 2 + 1, 0, cap_tot - 1)
                     raw2 = jnp.take(
                         octets, jnp.concatenate([ptr, ptr2]), axis=0
                     )  # (2*TA, 17) int32
@@ -651,11 +786,13 @@ def group_tree_forces(
                     # chain is numerically exact (product ~1e-21 rounds
                     # away against O(1) cell centers) but un-DCE-able,
                     # so the hop serializes like a real table access
-                    ptr2 = jnp.clip(raw[:, 16], 0, cap_oct - 1)
+                    ptr2 = jnp.clip(raw[:, 16], 0, cap_tot - 1)
                     raw2 = jnp.take(octets, ptr2, axis=0)
                     ix = ix + jnp.float32(1e-30) * (
                         raw2[:, 0].astype(jnp.float32)
                     )
+                # fused-LET import items: octet rows past the local table
+                is_imp_it = (ia >= cap_oct) if imports is not None else None
                 cw = iw * 0.5
                 hq = iw * 0.25
                 cell_q = cw * q_scale
@@ -793,9 +930,17 @@ def group_tree_forces(
                     n2_cy = jnp.where(sel, n_cy, n2_cy)
                     n2_cz = jnp.where(sel, n_cz, n2_cz)
                     n_kind = jnp.where(sel, jnp.where(opn, 1, 2), n_kind)
+                    # open-child octet row: BFS fc + popcount locally;
+                    # identity-mapped parent row + off for import items
+                    if imports is not None:
+                        chptr = jnp.where(
+                            is_imp_it, ia + off[c], fc + int_pref[c]
+                        )
+                    else:
+                        chptr = fc + int_pref[c]
                     n_a = jnp.where(
                         sel,
-                        jnp.where(opn, fc + int_pref[c], cfirst[c]),
+                        jnp.where(opn, chptr, cfirst[c]),
                         n_a,
                     )
                     n_b = jnp.where(
@@ -867,6 +1012,19 @@ def group_tree_forces(
                             )
                         else:
                             rid = c * cap_oct + ia
+                        if imports is not None:
+                            ia_rel = ia - cap_oct
+                            if c % 2 == 0:
+                                rid_i = jnp.where(
+                                    both_l[c // 2],
+                                    imp_base
+                                    + (8 + c // 2) * cap_imp
+                                    + ia_rel,
+                                    imp_base + c * cap_imp + ia_rel,
+                                )
+                            else:
+                                rid_i = imp_base + c * cap_imp + ia_rel
+                            rid = jnp.where(is_imp_it, rid_i, rid)
                         v = jnp.where(unit_l[c] & (pos[c] == k), rid, v)
                     v = jnp.where(
                         (k >= n_emit) & (drained > 0),
@@ -1057,7 +1215,7 @@ def group_tree_forces(
                 rows_blk = jnp.stack(step_rows, axis=0)
                 zero_l = (iw * 0.0).astype(jnp.int32)  # (TA,) opaque 0
                 ridx = (
-                    k_slots
+                    init_rows
                     + it * unroll * k_slots
                     + jnp.arange(unroll * k_slots, dtype=jnp.int32)[:, None]
                     + zero_l[None, :]
@@ -1070,17 +1228,15 @@ def group_tree_forces(
                 lists = lax.dynamic_update_slice(
                     lists,
                     jnp.stack(step_rows, axis=0),
-                    (k_slots + it * unroll * k_slots, jnp.int32(0)),
+                    (init_rows + it * unroll * k_slots, jnp.int32(0)),
                 )
             return (it + 1, kind, ia, ib, ic, im, iw, ix, iy, iz, sp,
                     sk, sa, sb, sc, sm, sw, sx, sy, sz, lists, nrows, bad)
 
-        zi = jnp.zeros((s_cap, width), jnp.int32)
-        zf = jnp.zeros((s_cap, width), jnp.float32)
         carry0 = (
             jnp.int32(0), kind0, ia0, ib0, ic0, im0, iw0, zf0, zf0, zf0,
-            jnp.zeros((width,), jnp.int32), zi, zi, zi, zi, zi,
-            zf, zf, zf, zf,
+            sp0, sk0, sa0, sb0, sc0, sm0,
+            sw0, sx0, sy0, sz0,
             lists0, nrows0, jnp.zeros((width,), bool),
         )
         out = lax.while_loop(cond, body, carry0)
@@ -1247,6 +1403,28 @@ def group_tree_forces(
     root_row_f32 = jnp.stack([tree.nodes_f32[0, c] for c in range(8)])
     root_first = tree.first[0]
     root_count = tree.count[0]
+    if use_octet:
+        # combined octet table: import rows appended behind the local
+        # ones; import off-columns are row offsets so no pointer fixup
+        # is needed (child octet row = parent row + off, both already in
+        # combined coordinates once the parent's row carries + cap_oct)
+        octets_cat = (
+            tree.octets
+            if imports is None
+            else jnp.concatenate([tree.octets, imports.octets], axis=0)
+        )
+    if imports is not None:
+        # loop-invariant import-root reads, hoisted like the local root
+        iroot_vals = jnp.take(
+            imports.forest.nodes_f32, imports.roots, axis=0
+        )  # (P, 8)
+        iroot_first = jnp.take(imports.forest.first, imports.roots)
+        iroot_count = jnp.take(imports.forest.count, imports.roots)
+        iroot_ext = (
+            jnp.take(imports.forest.skip, imports.roots) - imports.roots
+        )
+        iroot_has = imports.extents > 0
+        iroot_ptr = cap_oct + imports.roots
 
     def phase_a(blo, bhi, active0, width, budget, act_floor, k, rows_cap):
         if use_octet:
@@ -1358,11 +1536,21 @@ def group_tree_forces(
         def fallback_compact(acc):
             idx = jnp.nonzero(deferred, size=b_cap, fill_value=n)[0]
             idx_c = jnp.minimum(idx, n - 1)
+            pos_b = jnp.take(pos_new, idx_c, axis=0)
             acc_b = tree_forces(
-                jnp.take(pos_new, idx_c, axis=0), src_pos, src_mass, tree,
+                pos_b, src_pos, src_mass, tree,
                 params, tree_params, active=idx < n,
                 self_idx=gid_offset + idx_c,
             )
+            if imports is not None:
+                # fused LET: deferred lanes owe import-forest forces too
+                # (gravity adds; the compacted forest chains buffer to
+                # buffer so one walk from row 0 covers every import)
+                acc_b = acc_b + tree_forces(
+                    pos_b, src_pos, src_mass, imports.forest,
+                    params, tree_params, active=idx < n,
+                    self_idx=gid_offset + idx_c,
+                )
             return acc.at[idx].set(acc_b, mode="drop")
 
         return fallback_compact
@@ -1389,11 +1577,18 @@ def group_tree_forces(
             k, a = carry
             idx = lax.dynamic_slice(idx_all, (k * b_large,), (b_large,))
             idx_c = jnp.minimum(idx, n - 1)
+            pos_b = jnp.take(pos_new, idx_c, axis=0)
             acc_b = tree_forces(
-                jnp.take(pos_new, idx_c, axis=0), src_pos, src_mass, tree,
+                pos_b, src_pos, src_mass, tree,
                 params, tree_params, active=idx < n,
                 self_idx=gid_offset + idx_c,
             )
+            if imports is not None:
+                acc_b = acc_b + tree_forces(
+                    pos_b, src_pos, src_mass, imports.forest,
+                    params, tree_params, active=idx < n,
+                    self_idx=gid_offset + idx_c,
+                )
             return k + 1, a.at[idx].set(acc_b, mode="drop")
 
         return lax.while_loop(cond, body, (jnp.int32(0), acc))[1]

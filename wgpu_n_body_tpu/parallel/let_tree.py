@@ -37,8 +37,26 @@ from jax import lax
 
 from wgpu_n_body_tpu.ops.tree_build import NO_CHILD, WIDTH, TreeArrays
 
-# emission kinds
-_SENTINEL, _INTERNAL, _TERMINAL, _MEMBER = 0, 1, 2, 3
+# Emission kinds. Round-5 export format (one unit per source-tree child,
+# so the import forest is octet-walkable — VERDICT r4 missing #2):
+#   _INTERNAL  cell that failed theta and descends; children follow in DFS.
+#   _TERMINAL  theta-accepted cell: never opened remotely by the
+#              bbox-domination argument, but receiver-side it reads as a
+#              1-member "point" at its own row (first=row, count=1,
+#              parts=cog/mass) so a conservatively-inflated group test
+#              that does open it recovers the identical point mass.
+#   _POINT     a single particle (near leaf with count 1): width 0 row
+#              whose payload is the particle itself.
+#   _HEADER    a near leaf with count >= 2: ONE row carrying the leaf's
+#              cog/mass/width with the member count in node col 7; its
+#              ``count`` payload rows follow immediately and the header's
+#              skip jumps past them, so traversal sees one child unit per
+#              octant (<= 8 children per internal node — the octet-table
+#              invariant) while member expansion reads the payload rows.
+#   _PAYLOAD   a member particle row owned by the preceding header;
+#              never traversed (the header's skip clears it), it exists
+#              to carry the particle in the node row (wire-derivable).
+_SENTINEL, _INTERNAL, _TERMINAL, _POINT, _HEADER, _PAYLOAD = range(6)
 
 # Pruned-skip ranking implementation. True: two per-lane lax.sorts + a
 # cumsum (rank join — dense, sort-rate-bound). False: the vmapped
@@ -277,23 +295,50 @@ def export_walk(
             dmin = jnp.sqrt(dx * dx + dy * dy + dz * dz)
             theta_ok = xyzw[:, 3] < theta * dmin
             near = ~theta_ok & (raw[:, 4] > 0)
+            # near leaves: count==1 emits the particle as ONE _POINT row;
+            # count>=2 emits a _HEADER row (koff==0) then one _PAYLOAD
+            # row per member (koff = member index + 1), the lane staying
+            # on the leaf throughout.
+            single = near & (ncnt == 1)
+            multi = near & (ncnt > 1)
+            hdr = multi & (koff == 0)
+            payl = multi & (koff > 0)
             k_rows.append(jnp.where(done, tree.num_nodes, cur))
             kd_rows.append(
                 jnp.where(
                     done,
                     _SENTINEL,
                     jnp.where(
-                        theta_ok, _TERMINAL, jnp.where(near, _MEMBER, _INTERNAL)
+                        theta_ok,
+                        _TERMINAL,
+                        jnp.where(
+                            single,
+                            _POINT,
+                            jnp.where(
+                                hdr,
+                                _HEADER,
+                                jnp.where(payl, _PAYLOAD, _INTERNAL),
+                            ),
+                        ),
                     ),
                 ).astype(jnp.int32)
             )
-            m_rows.append(jnp.where(near & ~done, nfirst + koff, n_src))
-            exhausted = koff + 1 >= ncnt
-            koff = jnp.where(near & ~exhausted & ~done, koff + 1, 0)
+            # membs: payload index for _POINT/_PAYLOAD rows; nfirst - 1
+            # for _HEADER (sorts BEFORE its payloads in the fan-out
+            # lane-merge, never read for parts); n_src otherwise.
+            m_rows.append(
+                jnp.where(
+                    (single | payl) & ~done,
+                    nfirst + jnp.maximum(koff - 1, 0),
+                    jnp.where(hdr & ~done, nfirst - 1, n_src),
+                )
+            )
+            exhausted = payl & (koff >= ncnt)
+            koff = jnp.where(multi & ~exhausted & ~done, koff + 1, 0)
             nxt = jnp.where(
-                theta_ok | (near & exhausted),
+                theta_ok | single | exhausted,
                 nskip,
-                jnp.where(near, cur, cur + 1),
+                jnp.where(multi, cur, cur + 1),
             )
             if is_root_lane is not None:
                 # a root lane emitting INTERNAL stops after that one row
@@ -362,9 +407,10 @@ def export_walk(
     qq = jnp.arange(r_cap, dtype=jnp.int32)[None, :]
 
     # ---- payloads ----
-    is_member = kinds == _MEMBER
+    is_pt = (kinds == _POINT) | (kinds == _PAYLOAD)
     is_internal = kinds == _INTERNAL
-    is_node = (kinds == _TERMINAL) | is_internal
+    is_header = kinds == _HEADER
+    is_node = (kinds == _TERMINAL) | is_internal | is_header
     n_rows = jnp.sum((kinds != _SENTINEL).astype(jnp.int32), axis=1)
     if stage == "walk":  # measurement-only: DFS loop + row counts alone
         zf = jnp.zeros((p, r_cap, 8), jnp.float32)
@@ -381,18 +427,20 @@ def export_walk(
         ],
         axis=1,
     )
-    parts = jnp.take(src4, jnp.where(is_member, membs, n_src), axis=0)  # (P,R,4)
+    ppart = jnp.take(src4, jnp.where(is_pt, membs, n_src), axis=0)  # (P,R,4)
     nrow = jnp.take(tree.nodes_f32, keys, axis=0)  # (P, R, 8) (clamps)
+    hdr_cnt = jnp.where(is_header, jnp.take(tree.count, keys), 0)
 
     # node-schema output rows, column-by-column:
-    #   members -> singleton point rows (width 0, no_child 1, count 1);
-    #   terminals -> original row but count 0 (never opened remotely, by
-    #   the bbox-domination argument in the module docstring);
+    #   points/payloads -> particle rows (width 0, no_child 1);
+    #   terminals -> original row (receiver-side a 1-member point at its
+    #   own cog — see the kind table at the top of this module);
+    #   headers -> original leaf row with the member count in col 7;
     #   internals -> original row with no_child 0;
     #   sentinels -> inert far row (cog 1e15, zero mass, no_child 1).
     cogm = jnp.where(
-        is_member[:, :, None],
-        parts,
+        is_pt[:, :, None],
+        ppart,
         jnp.where(is_node[:, :, None], nrow[:, :, :4], 0.0),
     )
     cogm = jnp.where(
@@ -403,7 +451,7 @@ def export_walk(
         cogm,
     )
     width = jnp.where(is_node, nrow[:, :, WIDTH], 0.0)
-    single = jnp.where(is_member, 1.0, jnp.where(is_node, nrow[:, :, 5], 0.0))
+    single = jnp.where(is_pt, 1.0, jnp.where(is_node, nrow[:, :, 5], 0.0))
     no_child = jnp.where(is_internal, 0.0, 1.0)
     nodes_out = jnp.concatenate(
         [
@@ -411,15 +459,17 @@ def export_walk(
             width[:, :, None],
             single[:, :, None],
             no_child[:, :, None],
-            jnp.zeros((p, r_cap, 1), jnp.float32),
+            hdr_cnt.astype(jnp.float32)[:, :, None],
         ],
         axis=2,
     )
 
     # pruned skips: internal rows jump past their (pruned) subtree = the
     # number of emitted rows whose original DFS index precedes the
-    # original skip; all other rows are terminal (next row), and sentinel
-    # rows jump to the buffer end so one hop reaches the next tree.
+    # original skip (header/payload rows carry their leaf's DFS index, so
+    # they count correctly); headers jump over their payload run; all
+    # other rows are terminal (next row), and sentinel rows jump to the
+    # buffer end so one hop reaches the next tree.
     if stage == "payload":  # measurement-only: skip the pruned ranking
         pruned = qq + jnp.zeros((p, 1), jnp.int32)
     elif _PRUNE_VIA_SORT:
@@ -435,20 +485,64 @@ def export_walk(
     skip_out = jnp.where(
         is_internal,
         pruned,
-        jnp.where(kinds == _SENTINEL, r_cap, qq + 1),
+        jnp.where(
+            kinds == _SENTINEL,
+            r_cap,
+            jnp.where(is_header, qq + 1 + hdr_cnt, qq + 1),
+        ),
     ).astype(jnp.int32)
 
-    first_out = jnp.broadcast_to(qq, (p, r_cap)).astype(jnp.int32)
-    count_out = jnp.where(is_member, 1, 0).astype(jnp.int32)
+    first_out, count_out, parts_out = derive_first_count_parts(nodes_out)
     return LetExport(
         nodes=nodes_out,
         skip=skip_out,
         first=first_out,
         count=count_out,
-        parts=parts,
+        parts=parts_out,
         n_rows=n_rows,
         overflow=overflow,
     )
+
+
+def derive_first_count_parts(nodes: jax.Array) -> tuple:
+    """Receiver-side derivation of (first, count, parts) from node rows
+    alone — the single source of truth shared by ``export_walk`` (so its
+    own outputs match) and ``import_from_wire`` (so the wire can drop
+    those fields). Per row of the (P, R, 8) node buffer:
+
+    - header (no_child > 0, col7 = k > 0): first = row + 1 (its payload
+      run), count = k, parts = inert (a header inside a merged member
+      run must contribute zero — its mass lives in the payload rows).
+    - "pointish" (mass > 0 and either width == 0 [particle] or a
+      terminal cell [no_child > 0, col7 == 0]): first = own row,
+      count = 1, parts = own cog/mass — opening one is exactly its
+      point-mass contribution, so conservative (inflated) group
+      acceptance tests can open terminals without losing force.
+    - internal / sentinel: count = 0, parts inert.
+
+    A zero-mass source particle reads as non-pointish — its parts are
+    inert, and its force contribution is zero either way."""
+    p, r_cap, _ = nodes.shape
+    qq = jnp.broadcast_to(
+        jnp.arange(r_cap, dtype=jnp.int32)[None, :], (p, r_cap)
+    )
+    k7 = nodes[:, :, 7]
+    nc = nodes[:, :, NO_CHILD]
+    header = (nc > 0.0) & (k7 > 0.0)
+    pointish = (nodes[:, :, 3] > 0.0) & (
+        (nodes[:, :, WIDTH] == 0.0) | ((nc > 0.0) & (k7 == 0.0))
+    )
+    first = jnp.where(header, qq + 1, qq).astype(jnp.int32)
+    count = jnp.where(
+        header, k7.astype(jnp.int32), jnp.where(pointish, 1, 0)
+    ).astype(jnp.int32)
+    sent4 = jnp.concatenate(
+        [jnp.full((1, 1, 3), 1e15, jnp.float32),
+         jnp.zeros((1, 1, 1), jnp.float32)],
+        axis=2,
+    )
+    parts = jnp.where(pointish[:, :, None], nodes[:, :, :4], sent4)
+    return first, count, parts
 
 
 def wire_arrays(exp: LetExport) -> tuple:
@@ -456,17 +550,9 @@ def wire_arrays(exp: LetExport) -> tuple:
     (nodes, skip, n_rows, overflow) — 36 B/row instead of the full
     struct's 60 B, and 4 collectives instead of 7.
 
-    The dropped fields are receiver-derivable (``import_from_wire``):
-    ``first`` is a pure iota by construction (export_walk emits
-    first_out = row index; both assemblers re-offset it anyway),
-    ``count`` is 1 exactly on member rows, and a member row's payload
-    ``parts`` equals its own node row's cog/mass columns (export_walk
-    builds the member cogm FROM the payload). Member rows are
-    recognizable on the wire: they are the only rows with width == 0
-    and mass > 0 (real cells always have positive width; sentinel rows
-    carry zero mass). A zero-mass source particle would be
-    misclassified as a non-member — its force contribution is zero
-    either way, so physics is unaffected."""
+    The dropped fields (first/count/parts) are receiver-derivable from
+    the node rows alone — see ``derive_first_count_parts``, which both
+    sides share so the round trip is bit-equal by construction."""
     return exp.nodes, exp.skip, exp.n_rows, exp.overflow
 
 
@@ -478,21 +564,13 @@ def import_from_wire(
 ) -> LetExport:
     """Rebuild the full LetExport from the wire arrays (see
     ``wire_arrays``) — bit-equal to exchanging every field."""
-    p, r_cap = skip.shape
-    member = (nodes[:, :, WIDTH] == 0.0) & (nodes[:, :, 3] > 0.0)
-    sent4 = jnp.concatenate(
-        [jnp.full((1, 1, 3), 1e15, jnp.float32),
-         jnp.zeros((1, 1, 1), jnp.float32)],
-        axis=2,
-    )
+    first, count, parts = derive_first_count_parts(nodes)
     return LetExport(
         nodes=nodes,
         skip=skip,
-        first=jnp.broadcast_to(
-            jnp.arange(r_cap, dtype=jnp.int32)[None, :], (p, r_cap)
-        ),
-        count=member.astype(jnp.int32),
-        parts=jnp.where(member[:, :, None], nodes[:, :, :4], sent4),
+        first=first,
+        count=count,
+        parts=parts,
         n_rows=n_rows,
         overflow=overflow,
     )
@@ -564,7 +642,7 @@ def assemble_forest(
     return forest, total
 
 
-def assemble_import_forest(imp: LetExport) -> TreeArrays:
+def assemble_import_forest(imp: LetExport, part_base: int = 0) -> TreeArrays:
     """Concatenate ONLY the P import buffers into a walkable DFS forest.
 
     Used by the split LET walk: the local tree keeps its octet tables
@@ -573,10 +651,12 @@ def assemble_import_forest(imp: LetExport) -> TreeArrays:
     skip-pointer walk, and gravity adds the two accelerations. Walking
     starts at buffer 0 row 0; each buffer's sentinel tail rows jump to
     the next buffer (one inert hop per boundary). The matching particle
-    table is ``imp.parts`` flattened: row ``first[k]`` of buffer b is
-    payload ``b * let_cap + k`` (exactly how ``first`` is rewritten
-    here), and member payload indices never collide with receiver gids
-    as long as callers pass ``gid_offset >= P * let_cap``.
+    table is ``imp.parts`` flattened (plus ``part_base``): row
+    ``first[k]`` of buffer b is payload ``part_base + b * let_cap + k``
+    (exactly how ``first`` is rewritten here), and member payload
+    indices never collide with receiver gids as long as callers pass
+    ``gid_offset >= part_base + P * let_cap`` (or use a concatenated
+    source table whose import region starts at ``part_base``).
     """
     p, r_cap = imp.skip.shape
     total = p * r_cap
@@ -606,8 +686,8 @@ def assemble_import_forest(imp: LetExport) -> TreeArrays:
         ),
         first=jnp.concatenate(
             [
-                (imp.first + offs * r_cap).reshape(-1),
-                jnp.full((1,), total, jnp.int32),
+                (imp.first + offs * r_cap + part_base).reshape(-1),
+                jnp.full((1,), part_base + total, jnp.int32),
             ]
         ),
         count=jnp.concatenate(
@@ -616,6 +696,131 @@ def assemble_import_forest(imp: LetExport) -> TreeArrays:
         num_nodes=jnp.int32(total),
         root_width=jnp.float32(0.0),
         overflowed=jnp.any(imp.overflow),
+    )
+
+
+class CompactForest(NamedTuple):
+    """``compact_import_forest`` result: the P import buffers packed
+    back-to-back with their inter-buffer slack removed.
+
+    forest:  skip-format TreeArrays over ``cap_forest`` (+1 sentinel)
+             rows; ``first`` is ABSOLUTE into the caller's source table
+             (``part_base`` + compacted row), skips are clamped to each
+             buffer's extent so traversal chains buffer -> buffer and a
+             per-particle walk from row 0 visits the whole forest.
+    roots:   (P,) compacted row of each buffer's root (source root).
+    extents: (P,) rows kept per buffer; 0 marks an inert buffer (the
+             self lane) whose root must not be seeded.
+    parts:   (cap_forest, 4) member payload rows aligned with forest
+             rows (the caller appends these to its source table at
+             ``part_base``).
+    overflow: () bool — total real rows exceeded ``cap_forest`` (or an
+             export already truncated): remote forces are truncated and
+             the step driver must fail loudly (check_overflow).
+    """
+
+    forest: TreeArrays
+    roots: jax.Array
+    extents: jax.Array
+    parts: jax.Array
+    overflow: jax.Array
+
+
+def compact_import_forest(
+    imp: LetExport, cap_forest: int, part_base: int = 0
+) -> CompactForest:
+    """Pack the (P, R) import buffers into one slack-free forest.
+
+    The fused LET walk (VERDICT r4 missing #2) builds octet tables for
+    the import forest with IDENTITY row mapping (ops/import_octets.py),
+    so table size — which prices both the chained phase-A gathers and
+    the table build itself — must track REAL rows, not P*R. Real
+    exports are boundary detail (~2.53 * n_local^(2/3) rows for a face
+    neighbor, ~1e2-1e3 for edges/corners — PERF.md), so the packed
+    forest is a few face-buffers big where P*R carries 8x the slack.
+
+    Per buffer b: rows [0, n_rows_b) move to [off_b, off_b + n_b);
+    within-buffer skip/first values shift by the same offset, clamped
+    to the buffer extent first so every tail/sentinel jump lands
+    exactly on the next buffer's root (the chaining the padded
+    assembly got from its sentinel rows). Overflow clamps trailing
+    buffers and raises the flag — truncated forces, surfaced loudly,
+    never out-of-bounds reads.
+    """
+    p, r_cap = imp.skip.shape
+    n_b = jnp.minimum(imp.n_rows, r_cap)  # (P,)
+    off_raw = jnp.cumsum(n_b) - n_b  # exclusive prefix
+    total_raw = jnp.sum(n_b)
+    off = jnp.minimum(off_raw, cap_forest)
+    n_eff = jnp.minimum(n_b, cap_forest - off)
+    total = jnp.minimum(total_raw, cap_forest)
+    overflow = (total_raw > cap_forest) | jnp.any(imp.overflow)
+
+    jj = jnp.arange(cap_forest, dtype=jnp.int32)
+    ends = off + n_eff
+    b_of = jnp.clip(
+        jnp.searchsorted(ends, jj, side="right").astype(jnp.int32), 0, p - 1
+    )
+    within = jj - jnp.take(off, b_of)
+    valid = jj < total
+    flat = jnp.where(valid, b_of * r_cap + within, p * r_cap)
+
+    sent_node = jnp.zeros((1, 8), jnp.float32)
+    sent_node = sent_node.at[0, 0].set(1e15).at[0, NO_CHILD].set(1.0)
+    nodes_flat = jnp.concatenate(
+        [imp.nodes.reshape(p * r_cap, 8), sent_node], axis=0
+    )
+    skip_flat = jnp.concatenate(
+        [imp.skip.reshape(-1), jnp.full((1,), r_cap, jnp.int32)]
+    )
+    first_flat = jnp.concatenate(
+        [imp.first.reshape(-1), jnp.zeros((1,), jnp.int32)]
+    )
+    count_flat = jnp.concatenate(
+        [imp.count.reshape(-1), jnp.zeros((1,), jnp.int32)]
+    )
+    parts_flat = jnp.concatenate(
+        [
+            imp.parts.reshape(p * r_cap, 4),
+            jnp.concatenate(
+                [jnp.full((1, 3), 1e15, jnp.float32),
+                 jnp.zeros((1, 1), jnp.float32)],
+                axis=1,
+            ),
+        ],
+        axis=0,
+    )
+    nodes_c = jnp.take(nodes_flat, flat, axis=0)
+    nodes_c = jnp.where(valid[:, None], nodes_c, sent_node)
+    n_eff_j = jnp.take(n_eff, b_of)
+    off_j = jnp.take(off, b_of)
+    skip_src = jnp.take(skip_flat, flat)
+    first_src = jnp.take(first_flat, flat)
+    first_cl = jnp.minimum(first_src, n_eff_j)
+    count_c = jnp.clip(jnp.take(count_flat, flat), 0, n_eff_j - first_cl)
+    skip_c = jnp.where(
+        valid, jnp.minimum(skip_src, n_eff_j) + off_j, cap_forest
+    )
+    first_c = jnp.where(valid, first_cl + off_j, total) + part_base
+    count_c = jnp.where(valid, count_c, 0)
+    parts_c = jnp.take(parts_flat, flat, axis=0)
+
+    forest = TreeArrays(
+        nodes_f32=jnp.concatenate([nodes_c, sent_node], axis=0),
+        skip=jnp.concatenate(
+            [skip_c, jnp.full((1,), cap_forest, jnp.int32)]
+        ),
+        first=jnp.concatenate(
+            [first_c, jnp.full((1,), part_base + cap_forest, jnp.int32)]
+        ),
+        count=jnp.concatenate([count_c, jnp.zeros((1,), jnp.int32)]),
+        num_nodes=total,
+        root_width=jnp.float32(0.0),
+        overflowed=overflow,
+    )
+    return CompactForest(
+        forest=forest, roots=off, extents=n_eff, parts=parts_c,
+        overflow=overflow,
     )
 
 
@@ -634,17 +839,19 @@ def let_memory_bytes(
     t_cap = -(-n_l // g) + max(8, 2 * -(-n_l // g))
     rows = walk_list_rows or (-(-(2 * tp.walk_list_cap) // 256) * 256)
     ta_blk = min(2048, t_cap)
+    fused = tp.walk_engine == "octet" and tp.let_fused
+    cf = tp.let_forest_cap(p, r) if fused else p * r
     sizes = {
         # two generations of SoA state (donated ping-pong)
         "state": 2 * n_l * 40,
         "local_arena": (cap_l + 1) * (32 + 12),  # nodes_f32 + skip/first/count
-        # import-only forest (the split walk keeps the local tree as-is)
-        "import_forest": (p * r + 1) * (32 + 12),
+        # import forest: compacted (fused walk) or padded P*R (split)
+        "import_forest": (cf + 1) * (32 + 12) + (cf * 16 if fused else 0),
         "export_import": 2 * p * r * (32 + 12 + 16),  # exports + imports
-        # local walk's comb table (octet engine: octet_pts + pair rows)
-        # plus the import walk's (import node rows + payload part rows)
-        "eval_tables": (3 * ((n_l + 1) // 2)) * 32
-        + (p * r + 1 + p * r) * 32,
+        # local walk's comb table (octet engine: octet_pts + pair rows
+        # over [local | imports]) plus (split) the import walk's tables
+        "eval_tables": (3 * ((n_l + 1 + cf + 1) // 2)) * 32
+        + (0 if fused else (p * r + 1 + p * r) * 32),
         "tiles": t_cap * g * 3 * 4 + t_cap * g * 4,  # tile pos + gid
         "phase_a_lists": rows * ta_blk * 4,
         "acc_tiles": t_cap * g * 3 * 4,
@@ -652,5 +859,8 @@ def let_memory_bytes(
     if tp.walk_engine == "octet":
         cap_oct = tp.octet_capacity(n_l)
         sizes["local_octets"] = cap_oct * 17 * 4 + (cap_oct * 12 + 2) * 32
+        if fused:
+            # identity-mapped import octet + pts tables + combined copies
+            sizes["import_octets"] = cf * 17 * 4 + cf * 12 * 32
     sizes["total"] = sum(sizes.values())
     return sizes

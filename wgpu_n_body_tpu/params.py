@@ -146,8 +146,17 @@ class TreeParams:
         "octet" = child-block walk (one *opened* node per step, 8 child
         tests per gather; needs the octet tables the build then emits).
       let_import_list_cap: walk_list_cap override for the LET import-
-        forest walk only (see effective_import_list_cap). None = auto
-        (2048, capped by walk_list_cap).
+        forest walk only (see effective_import_list_cap). Applies to the
+        SPLIT walk (let_fused=False); the fused walk shares the local
+        walk's budget. None = auto (2048, capped by walk_list_cap).
+      let_fused: fuse the LET import forest into the local octet walk
+        (one group_tree_forces call — import roots ride the per-lane
+        stack, import octet tables append to the local ones). False
+        restores the round-4 split walk (local octet walk + separate
+        skip-engine import walk) for A/B measurement. Only effective
+        for walk="group" with the octet engine.
+      let_forest_factor: sizing of the fused walk's compacted import
+        forest, in let_caps (see let_forest_cap).
       octet_capacity_factor: octet-table rows = factor * N (clamped to
         [4096, node capacity]). Only internal (openable) nodes need a
         row; measured internal counts at leaf_bucket 16 are 0.018-0.039N
@@ -173,6 +182,20 @@ class TreeParams:
     walk_engine: str = "octet"
     octet_capacity_factor: float | None = None
     let_import_list_cap: int | None = None
+    let_fused: bool = True
+    let_forest_factor: float = 4.0
+
+    def let_forest_cap(self, p: int, let_cap: int) -> int:
+        """Static row capacity of the fused LET walk's compacted import
+        forest (``let_tree.compact_import_forest``): real import rows
+        packed slack-free, so the identity-mapped import octet table —
+        whose size prices both its build and the walk's chained gathers —
+        tracks actual content instead of P * let_cap. Realistic octant
+        geometry fills ~2.1 let_caps (3 faces + 3 edges + 1 corner at
+        auto-sized caps, PERF.md); ``let_forest_factor`` (default 4.0)
+        leaves ~2x slack, and overflow is LOUD (check_overflow raises).
+        Never exceeds the padded total P * let_cap."""
+        return min(p * let_cap, max(let_cap, int(self.let_forest_factor * let_cap)))
 
     def effective_import_list_cap(self) -> int:
         """walk_list_cap for the LET schedule's import-forest walk (the
