@@ -45,14 +45,19 @@ def main() -> int:
         "--component",
         choices=[
             "sort", "build", "export", "import_walk", "local_walk",
-            "fused_walk", "import_prep",
+            "fused_walk", "import_prep", "step_no_a2a",
         ],
         required=True,
         help="fused_walk = ONE group walk over local tree + imports "
         "(round 5; its delta over local_walk is the fused import "
         "overhead, target <= 0.1 s at n_local=4M); import_prep = the "
         "receiver-side compaction + import-octet build alone; "
-        "import_walk = the r4 SPLIT walk's second half (let_fused=0)",
+        "import_walk = the r4 SPLIT walk's second half (let_fused=0); "
+        "step_no_a2a = the WHOLE per-chip LET step as ONE jitted fn "
+        "(sort + build + export + fused walk + leapfrog) with the "
+        "import forest standing in for the all_to_all result — the "
+        "VERDICT r4 weak #2 single-process validation of the "
+        "component-sum projection",
     )
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--tag", type=str, default="")
@@ -276,6 +281,81 @@ def main() -> int:
             fused_j = jax.jit(fused)
             fn = lambda: fused_j(ss.pos, ss.pos, ss.mass, tree, exp)[0]
             deferred = int(fused_j(ss.pos, ss.pos, ss.mass, tree, exp)[1])
+    elif args.component == "step_no_a2a":
+        # One jitted function covering everything a chip does per LET
+        # step EXCEPT the all_to_all (its ~28 MB/chip of ICI traffic is
+        # the only part one chip cannot run): local Morton sort, build,
+        # export walk toward the P destination bboxes, the fused
+        # local+import walk, and the leapfrog update. The import forest
+        # reuses the chip's own (translated, --geometry octants)
+        # exports, which is exactly the statistical stand-in the
+        # component pricing uses. Interference effects (VMEM pressure,
+        # scheduler overlap) that a fresh-process component SUM cannot
+        # see are all present here.
+        import jax.numpy as _jnp
+
+        exp0 = export_walk(
+            tree, ss.pos, ss.mass, blo, bhi, jnp.int32(0), tp.theta,
+            args.let_cap,
+        )
+        delta = (
+            blo - blo[0:1]
+            if args.geometry == "octants"
+            else jnp.zeros_like(blo)
+        )
+        rows = [int(x) for x in exp0.n_rows]
+        ovf = [bool(x) for x in exp0.overflow]
+        cap_forest = tp.let_forest_cap(p, args.let_cap)
+
+        def one_step(st_in):
+            half = sp.dt / 2.0
+            vel_h = st_in.vel + st_in.acc * half
+            ss2, bound2, keys2 = morton_sort(
+                st_in._replace(vel=vel_h), tp.max_depth
+            )
+            tree2 = build_tree(ss2, keys2, bound2, tp)
+            pos_new = ss2.pos + ss2.vel * sp.dt
+            exp = export_walk(
+                tree2, ss2.pos, ss2.mass, blo, bhi, jnp.int32(0),
+                tp.theta, args.let_cap,
+            )
+            imp = exp._replace(
+                nodes=exp.nodes.at[:, :, :3].add(delta[:, None, :]),
+                parts=exp.parts.at[:, :, :3].add(delta[:, None, :]),
+            )
+            n_local = ss2.pos.shape[0]
+            part_base = n_local + 1
+            bundle = compact_import_forest(imp, cap_forest, part_base)
+            iset = build_import_octets(
+                bundle.forest, bundle.roots, bundle.extents,
+                tree2.root_width, tp.max_depth, part_base,
+            )
+            src_pos = _jnp.concatenate(
+                [ss2.pos, _jnp.full((1, 3), 1e15, _jnp.float32),
+                 bundle.parts[:, :3]]
+            )
+            src_mass = _jnp.concatenate(
+                [ss2.mass, _jnp.zeros((1,), _jnp.float32),
+                 bundle.parts[:, 3]]
+            )
+            acc_new, stats = group_tree_forces(
+                pos_new, src_pos, src_mass, tree2, keys2, sp, tp,
+                imports=iset,
+            )
+            vel_new = ss2.vel + acc_new * half
+            return st_in._replace(
+                pos=pos_new, vel=vel_new, acc=acc_new, mass=ss2.mass
+            ), stats.deferred
+
+        step_j = jax.jit(one_step, donate_argnums=(0,))
+        cur = {"st": state}
+
+        def fn():
+            out, d = step_j(cur["st"])
+            cur["st"] = out
+            return out.pos
+
+        deferred = None
     else:  # local_walk
         walk_j = jax.jit(
             lambda pos_new, pos, mass, t: group_tree_forces(
@@ -306,7 +386,7 @@ def main() -> int:
         "backend": jax.default_backend(),
     }
     rec["geometry"] = args.geometry
-    if args.component in ("export", "import_walk", "fused_walk", "import_prep"):
+    if args.component in ("export", "import_walk", "fused_walk", "import_prep", "step_no_a2a"):
         rec["export_rows"] = rows
         rec["export_overflow"] = ovf
     if args.component == "fused_walk":
