@@ -91,6 +91,36 @@ def main() -> int:
         "export walk's substep parallelism",
     )
     ap.add_argument(
+        "--split-step", action="store_true",
+        help="for --component step_no_a2a: run the r4 SPLIT walk inside "
+        "the whole-step function (local octet walk + reduced-budget "
+        "skip-engine import walk, accelerations added) instead of the "
+        "fused walk — the same-session whole-step A/B of tp.let_fused",
+    )
+    ap.add_argument(
+        "--inert-imports", action="store_true",
+        help="for --component fused_walk: zero the export row counts "
+        "before the receiver-side prep, so the import octet tables are "
+        "appended at full static size (cap_forest rows) but hold no "
+        "content and seed no roots — isolates the fused walk's "
+        "TABLE-SIZE cost (every phase-A chained gather reads the "
+        "concatenated table; the cost law scales with table size) from "
+        "its real import-row traversal",
+    )
+    ap.add_argument(
+        "--forest-factor", type=float, default=None,
+        help="override TreeParams.let_forest_factor (static cap of the "
+        "fused walk's compacted import forest, in let_caps; default "
+        "4.0) to A/B the concatenated-table-size cost",
+    )
+    ap.add_argument(
+        "--import-tile", type=int, default=None,
+        help="override walk_tile for the SPLIT import walk only "
+        "(import_walk component and --split-step): the import forest is "
+        "shallow, so wider tiles cut the group-walk machinery's "
+        "per-tile fixed costs at the price of per-tile list pressure",
+    )
+    ap.add_argument(
         "--import-list-cap", type=int, default=None,
         help="override TreeParams.let_import_list_cap for the "
         "import_walk component (default: the auto resolution, i.e. "
@@ -127,6 +157,10 @@ def main() -> int:
     n, p = args.n_local, args.p
     sp = SimParams(particle_num=n, g=1e-6, dt=0.016)
     tp = TreeParams(theta=args.theta)
+    if args.forest_factor is not None:
+        import dataclasses as _dc
+
+        tp = _dc.replace(tp, let_forest_factor=args.forest_factor)
     state = init_fn(jax.random.key(0), sp)
     if args.geometry == "octants":
         # this chip owns octant 0 of the global [-1,1]^3 cube
@@ -213,6 +247,11 @@ def main() -> int:
                 if args.import_list_cap is not None
                 else tp.effective_import_list_cap()
             ),
+            **(
+                {"walk_tile": args.import_tile}
+                if args.import_tile is not None
+                else {}
+            ),
         )
 
         def imp_walk(pos_new, parts, imp_local):
@@ -247,6 +286,8 @@ def main() -> int:
             )
         rows = [int(x) for x in exp.n_rows]
         ovf = [bool(x) for x in exp.overflow]
+        if args.inert_imports:
+            exp = exp._replace(n_rows=jnp.zeros_like(exp.n_rows))
         cap_forest = tp.let_forest_cap(p, args.let_cap)
         part_base = n + 1
 
@@ -325,27 +366,57 @@ def main() -> int:
             )
             n_local = ss2.pos.shape[0]
             part_base = n_local + 1
-            bundle = compact_import_forest(imp, cap_forest, part_base)
-            iset = build_import_octets(
-                bundle.forest, bundle.roots, bundle.extents,
-                tree2.root_width, tp.max_depth, part_base,
-            )
-            src_pos = _jnp.concatenate(
-                [ss2.pos, _jnp.full((1, 3), 1e15, _jnp.float32),
-                 bundle.parts[:, :3]]
-            )
-            src_mass = _jnp.concatenate(
-                [ss2.mass, _jnp.zeros((1,), _jnp.float32),
-                 bundle.parts[:, 3]]
-            )
-            acc_new, stats = group_tree_forces(
-                pos_new, src_pos, src_mass, tree2, keys2, sp, tp,
-                imports=iset,
-            )
+            if args.split_step:
+                import dataclasses as _dc
+
+                acc_loc, s1 = group_tree_forces(
+                    pos_new, ss2.pos, ss2.mass, tree2, keys2, sp, tp
+                )
+                forest = assemble_import_forest(imp)
+                tp_imp = _dc.replace(
+                    tp,
+                    walk_list_cap=tp.effective_import_list_cap(),
+                    **(
+                        {"walk_tile": args.import_tile}
+                        if args.import_tile is not None
+                        else {}
+                    ),
+                )
+                acc_imp, s2 = group_tree_forces(
+                    pos_new,
+                    imp.parts[:, :, :3].reshape(-1, 3),
+                    imp.parts[:, :, 3].reshape(-1),
+                    forest,
+                    keys2,
+                    sp,
+                    tp_imp,
+                    gid_offset=p * args.let_cap,
+                )
+                acc_new = acc_loc + acc_imp
+                stats_deferred = s1.deferred + s2.deferred
+            else:
+                bundle = compact_import_forest(imp, cap_forest, part_base)
+                iset = build_import_octets(
+                    bundle.forest, bundle.roots, bundle.extents,
+                    tree2.root_width, tp.max_depth, part_base,
+                )
+                src_pos = _jnp.concatenate(
+                    [ss2.pos, _jnp.full((1, 3), 1e15, _jnp.float32),
+                     bundle.parts[:, :3]]
+                )
+                src_mass = _jnp.concatenate(
+                    [ss2.mass, _jnp.zeros((1,), _jnp.float32),
+                     bundle.parts[:, 3]]
+                )
+                acc_new, stats = group_tree_forces(
+                    pos_new, src_pos, src_mass, tree2, keys2, sp, tp,
+                    imports=iset,
+                )
+                stats_deferred = stats.deferred
             vel_new = ss2.vel + acc_new * half
             return st_in._replace(
                 pos=pos_new, vel=vel_new, acc=acc_new, mass=ss2.mass
-            ), stats.deferred
+            ), stats_deferred
 
         step_j = jax.jit(one_step, donate_argnums=(0,))
         cur = {"st": state}
@@ -386,6 +457,12 @@ def main() -> int:
         "backend": jax.default_backend(),
     }
     rec["geometry"] = args.geometry
+    if args.inert_imports:
+        rec["inert_imports"] = True
+    if args.split_step:
+        rec["split_step"] = True
+    if args.forest_factor is not None:
+        rec["forest_factor"] = args.forest_factor
     if args.component in ("export", "import_walk", "fused_walk", "import_prep", "step_no_a2a"):
         rec["export_rows"] = rows
         rec["export_overflow"] = ovf

@@ -156,7 +156,9 @@ class TreeParams:
         skip-engine import walk) for A/B measurement. Only effective
         for walk="group" with the octet engine.
       let_forest_factor: sizing of the fused walk's compacted import
-        forest, in let_caps (see let_forest_cap).
+        forest, in let_caps (see let_forest_cap). The fused walk pays
+        for the STATIC cap (table-size tax on every chained gather),
+        not the content — keep it tight.
       octet_capacity_factor: octet-table rows = factor * N (clamped to
         [4096, node capacity]). Only internal (openable) nodes need a
         row; measured internal counts at leaf_bucket 16 are 0.018-0.039N
@@ -183,7 +185,7 @@ class TreeParams:
     octet_capacity_factor: float | None = None
     let_import_list_cap: int | None = None
     let_fused: bool = True
-    let_forest_factor: float = 4.0
+    let_forest_factor: float = 2.5
 
     def let_forest_cap(self, p: int, let_cap: int) -> int:
         """Static row capacity of the fused LET walk's compacted import
@@ -191,10 +193,14 @@ class TreeParams:
         packed slack-free, so the identity-mapped import octet table —
         whose size prices both its build and the walk's chained gathers —
         tracks actual content instead of P * let_cap. Realistic octant
-        geometry fills ~2.1 let_caps (3 faces + 3 edges + 1 corner at
-        auto-sized caps, PERF.md); ``let_forest_factor`` (default 4.0)
-        leaves ~2x slack, and overflow is LOUD (check_overflow raises).
-        Never exceeds the padded total P * let_cap."""
+        geometry fills ~2.2 let_caps (3 faces + 3 edges + 1 corner at
+        auto-sized caps, PERF.md), and the fused walk's cost is the
+        STATIC table size, not its content (inert-import A/B read
+        identical; ~0.8 ns per appended row per 4M-receiver walk, r5),
+        so ``let_forest_factor`` (default 2.5, measured -0.117 s vs 4.0
+        at n_local=4M) keeps only ~12% slack and relies on LOUD overflow
+        (check_overflow raises; reshard bounds the drift that grows
+        imports). Never exceeds the padded total P * let_cap."""
         return min(p * let_cap, max(let_cap, int(self.let_forest_factor * let_cap)))
 
     def effective_import_list_cap(self) -> int:
@@ -246,9 +252,14 @@ class TreeParams:
 
         Both walk phases gather from octet tables and TPU gathers get
         faster the smaller the table, so the auto default tracks measured
-        internal-node counts (0.018-0.039N at bucket 16 across disc and
-        uniform scenes) with ~2x slack: 0.08N for bucket >= 8 (measured
-        -17% full step at N=1M theta=0.75 vs the old 0.125N). The auto
+        internal-node counts (0.018-0.042N at bucket 16 across disc,
+        uniform and spherical scenes, N=262k-4M): 0.06N for bucket >= 8
+        (~1.4x slack on the worst measured scene — the r5 capacity
+        lesson: walk tables cost by STATIC size, ~0.9 ns/row per
+        4M-receiver walk even when empty, and overflow is loud; the
+        0.08N -> 0.06N shrink measured -3.1% full step at N=4M
+        theta=0.75 uniform same-session, a wash at N=2M theta=0.5 disc).
+        History: 0.125N -> 0.08N was -17% at N=1M theta=0.75. The auto
         floor is 16384 rows: an 8192-row table measured ~17% SLOWER than
         12800/16384 at N=100k (v5e, cause unidentified — likely an XLA
         gather-strategy threshold), so small N keeps a 16k table.
@@ -257,7 +268,7 @@ class TreeParams:
         f = self.octet_capacity_factor
         if f is None:
             f = 4.0 if self.leaf_bucket == 1 else (
-                0.5 if self.leaf_bucket < 8 else 0.08
+                0.5 if self.leaf_bucket < 8 else 0.06
             )
             return min(self.capacity(n), max(16384, int(n * f)))
         return min(self.capacity(n), max(4096, int(n * f)))
