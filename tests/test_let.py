@@ -685,7 +685,7 @@ def test_fused_matches_split_and_oracle_at_theta():
     )
     errs = {}
     for tag, tp in (
-        ("fused", tp0),
+        ("fused", dataclasses.replace(tp0, let_fused=True)),
         ("split", dataclasses.replace(tp0, let_fused=False)),
     ):
         s = ShardedTreeSim(params, mesh, tp, schedule="let", let_cap=1024)
@@ -834,7 +834,7 @@ def test_let_forest_cap_overflow_raises_in_runner():
     params = SimParams(particle_num=512, g=1e-4)
     tp = TreeParams(
         theta=0.0, max_depth=8, leaf_bucket=4, walk_tile=16,
-        walk_list_cap=2048, let_forest_factor=1.0,
+        walk_list_cap=2048, let_forest_factor=1.0, let_fused=True,
     )
     mesh = make_mesh()
     # theta=0 overlap geometry saturates every buffer: total rows far
@@ -856,7 +856,7 @@ def test_fused_two_pass_straggler_with_imports():
 
     params = SimParams(particle_num=256, g=1e-4)
     tp = TreeParams(theta=0.0, max_depth=8, leaf_bucket=4, walk_tile=16,
-                    walk_list_cap=2048)
+                    walk_list_cap=2048, let_fused=True)
     mesh = make_mesh()
     st = uniform_init(jax.random.key(2), params)
     naive = NaiveSim(params, NaiveParams(use_pallas=False)).make_step(

@@ -64,7 +64,7 @@ def _build_sim(args):
             mesh,
             TreeParams(
                 theta=args.theta,
-                let_fused=not getattr(args, "split_let_walk", False),
+                let_fused=getattr(args, "fused_let_walk", False),
             ),
             schedule=schedule,
             let_cap=getattr(args, "let_cap", None),
@@ -112,10 +112,12 @@ def _add_sim_flags(p, n, g, e, dt, sim, sim_list=False):
         "from measured need, parallel/let_tree.py)",
     )
     p.add_argument(
-        "--split-let-walk", action="store_true",
-        help="use the round-4 SPLIT LET walk (separate skip-engine "
-        "import walk) instead of the default fused octet walk — A/B "
-        "lever, see TreeParams.let_fused",
+        "--fused-let-walk", action="store_true",
+        help="fuse the LET import forest into the local octet walk "
+        "(one group walk). The default is the SPLIT walk, which the "
+        "whole-step A/B measures 0.3 s faster per step at n_local=4M "
+        "despite the fused walk winning in isolation — see "
+        "TreeParams.let_fused and PERF.md round 5",
     )
 
 

@@ -11,16 +11,19 @@ Each chip Morton-sorts LOCALLY (against a pmax-global bound so cells
 align), builds an octree over only its slice — O(N/P) build and memory —
 and exchanges *locally-essential* pruned subtrees (parallel/let_tree.py):
 one bbox-probed DFS export walk per destination, one all_to_all, then
-ONE FUSED walk (round 5 default, tp.let_fused): the import buffers are
-compacted slack-free, given identity-mapped octet tables receiver-side
-(ops/import_octets.py), and the import roots ride each tile's traversal
-stack — so the fast octet engine covers local tree + imports in a
-single group_tree_forces call and the group machinery's fixed budgets
-(measured 0.33 s as a second walk at n_local=4M, PERF.md) are paid
-once. tp.let_fused=False restores the r4 SPLIT walk (local octet walk
-+ separate skip-engine import walk, accelerations added) for A/B;
-engines without octet tables fall back to one skip walk over the
-concatenated [local tree | P imports] forest.
+the SPLIT walk (default): the local tree keeps its fast octet engine
+(identical to single-chip) and the small import forest (P*let_cap
+already-pruned rows) runs a second, reduced-budget skip-engine walk;
+gravity is a sum, so the accelerations add. tp.let_fused=True selects
+the FUSED walk instead: import buffers compacted slack-free, given
+identity-mapped octet tables receiver-side (ops/import_octets.py),
+import roots riding each tile's traversal stack — ONE group_tree_forces
+call. The fused walk wins in ISOLATION (1.346 vs 1.452 s at
+n_local=4M) but loses in the WHOLE per-chip step (2.487 vs 2.188 s,
+same-session step_no_a2a A/B — in-graph its concatenated source/table
+buffers cost ~0.3 s the isolated harness never sees; PERF.md round 5),
+hence the split default. Engines without octet tables fall back to one
+skip walk over the concatenated [local tree | P imports] forest.
 Per-chip memory is O(N/P + P*let_cap):
 N=32M on a v5e-8 fits in ~2 GB/chip of live state (see
 tests/test_let.py::test_let_memory_budget_32m), where the replicated

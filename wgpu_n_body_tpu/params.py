@@ -151,10 +151,14 @@ class TreeParams:
         walk's budget. None = auto (2048, capped by walk_list_cap).
       let_fused: fuse the LET import forest into the local octet walk
         (one group_tree_forces call — import roots ride the per-lane
-        stack, import octet tables append to the local ones). False
-        restores the round-4 split walk (local octet walk + separate
-        skip-engine import walk) for A/B measurement. Only effective
-        for walk="group" with the octet engine.
+        stack, import octet tables append to the local ones). Default
+        FALSE (the round-4/5 split walk: local octet walk + separate
+        reduced-budget skip-engine import walk): the isolated-walk A/B
+        favors fused (1.346 vs 1.452 s at n_local=4M) but the WHOLE
+        per-chip step reverses it — split 2.188 vs fused 2.487 s, same
+        session (PERF.md round 5; in-graph the fused walk's concatenated
+        source/table buffers cost ~0.3-0.4 s the isolated harness never
+        sees). Only effective for walk="group" with the octet engine.
       let_forest_factor: sizing of the fused walk's compacted import
         forest, in let_caps (see let_forest_cap). The fused walk pays
         for the STATIC cap (table-size tax on every chained gather),
@@ -184,7 +188,7 @@ class TreeParams:
     walk_engine: str = "octet"
     octet_capacity_factor: float | None = None
     let_import_list_cap: int | None = None
-    let_fused: bool = True
+    let_fused: bool = False
     let_forest_factor: float = 2.5
 
     def let_forest_cap(self, p: int, let_cap: int) -> int:
