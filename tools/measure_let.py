@@ -375,7 +375,11 @@ def main() -> int:
                 forest = assemble_import_forest(imp)
                 tp_imp = _dc.replace(
                     tp,
-                    walk_list_cap=tp.effective_import_list_cap(),
+                    walk_list_cap=(
+                        args.import_list_cap
+                        if args.import_list_cap is not None
+                        else tp.effective_import_list_cap()
+                    ),
                     **(
                         {"walk_tile": args.import_tile}
                         if args.import_tile is not None
@@ -419,11 +423,12 @@ def main() -> int:
             ), stats_deferred
 
         step_j = jax.jit(one_step, donate_argnums=(0,))
-        cur = {"st": state}
+        cur = {"st": state, "deferred": None}
 
         def fn():
             out, d = step_j(cur["st"])
             cur["st"] = out
+            cur["deferred"] = d
             return out.pos
 
         deferred = None
@@ -461,6 +466,11 @@ def main() -> int:
         rec["inert_imports"] = True
     if args.split_step:
         rec["split_step"] = True
+    if args.component == "step_no_a2a":
+        if cur.get("deferred") is not None:
+            rec["walk_deferred"] = int(cur["deferred"])
+        if args.import_list_cap is not None:
+            rec["import_list_cap"] = args.import_list_cap
     if args.forest_factor is not None:
         rec["forest_factor"] = args.forest_factor
     if args.component in ("export", "import_walk", "fused_walk", "import_prep", "step_no_a2a"):
