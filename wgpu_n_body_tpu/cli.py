@@ -23,11 +23,33 @@ _SCHEDULES = {
 }
 
 
+def _tree_kw(args) -> dict:
+    """Parse --tree-kw NAME=VALUE overrides into TreeParams kwargs
+    (values are Python literals, same convention as tools/measure_step)."""
+    import ast
+    import dataclasses
+
+    from wgpu_n_body_tpu.params import TreeParams
+
+    fields = {f.name for f in dataclasses.fields(TreeParams)}
+    out = {}
+    for spec in getattr(args, "tree_kw", None) or []:
+        name, sep, val = spec.partition("=")
+        if not sep or name not in fields:
+            raise SystemExit(
+                f"--tree-kw {spec!r}: expected NAME=VALUE with NAME one of "
+                f"{sorted(fields)}"
+            )
+        out[name] = ast.literal_eval(val)
+    return out
+
+
 def _build_sim(args):
     from wgpu_n_body_tpu.models import NaiveSim, TreeSim
     from wgpu_n_body_tpu.params import NaiveParams, SimParams, TreeParams
 
     params = SimParams(particle_num=args.n, g=args.g, e=args.e, dt=args.dt)
+    tkw = _tree_kw(args)
     devices = getattr(args, "devices", 0) or 0
     if devices > 1:
         # Multi-chip driver (VERDICT r3 missing #3: the sharded sims were
@@ -62,10 +84,11 @@ def _build_sim(args):
         return ShardedTreeSim(
             params,
             mesh,
-            TreeParams(
-                theta=args.theta,
-                let_fused=getattr(args, "fused_let_walk", False),
-            ),
+            TreeParams(**{
+                "theta": args.theta,
+                "let_fused": getattr(args, "fused_let_walk", False),
+                **tkw,
+            }),
             schedule=schedule,
             let_cap=getattr(args, "let_cap", None),
         )
@@ -76,9 +99,10 @@ def _build_sim(args):
         from wgpu_n_body_tpu.models.tree_host import TreeSimHost
 
         return TreeSimHost(
-            params, TreeParams(theta=args.theta, leaf_bucket=1)
+            params,
+            TreeParams(**{"theta": args.theta, "leaf_bucket": 1, **tkw}),
         )
-    return TreeSim(params, TreeParams(theta=args.theta))
+    return TreeSim(params, TreeParams(**{"theta": args.theta, **tkw}))
 
 
 def _add_sim_flags(p, n, g, e, dt, sim, sim_list=False):
@@ -96,6 +120,13 @@ def _add_sim_flags(p, n, g, e, dt, sim, sim_list=False):
     p.add_argument("--init", choices=["uniform", "disc", "spherical"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument(
+        "--tree-kw", action="append", default=[], metavar="NAME=VALUE",
+        help="override any TreeParams field (value = Python literal), "
+        "e.g. --tree-kw leaf_bucket=32 --tree-kw walk_engine='\"skip\"' "
+        "— the capacity/engine knobs PERF.md sweeps are all reachable "
+        "from the CLI",
+    )
     # multi-chip (naive: allgather|ring; tree: replicated|let)
     p.add_argument(
         "--devices", type=int, default=0,
