@@ -166,3 +166,28 @@ def test_cli_rejects_bad_schedule():
                 "8", "--schedule", "let", "--steps", "1",
             ]
         )
+
+
+def test_cli_tree_kw_overrides(capsys):
+    """--tree-kw NAME=VALUE reaches TreeParams (round 5: every capacity/
+    engine knob PERF.md sweeps is CLI-reachable), and bad names fail
+    loudly instead of being silently dropped."""
+    import pytest
+
+    from wgpu_n_body_tpu.cli import main
+
+    rc = main(
+        [
+            "headless", "--sim", "tree", "--n", "512", "--steps", "1",
+            "--tree-kw", "leaf_bucket=8", "--tree-kw", "theta=0.5",
+        ]
+    )
+    assert rc == 0
+    assert "us/step" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="tree-kw"):
+        main(
+            [
+                "headless", "--sim", "tree", "--n", "512", "--steps", "1",
+                "--tree-kw", "not_a_field=1",
+            ]
+        )
