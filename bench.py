@@ -18,7 +18,16 @@ BASELINE_PAIRS_PER_SEC = 1e11
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # persistent compile cache (the CLI enables the same one): the naive
+    # kernel's remote compile is ~10 min cold on the axon tunnel, ~0 warm
+    cache = os.path.expanduser("~/.cache/wgpu_n_body_tpu/xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from wgpu_n_body_tpu.inits import uniform_init
     from wgpu_n_body_tpu.models.naive import NaiveSim
